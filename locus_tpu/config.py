@@ -1,0 +1,230 @@
+"""Typed configuration tree.
+
+Native replacement for LOCUS's four config mechanisms (rosparam YAML +
+launch-file logic + dynamic_reconfigure + env vars — SURVEY §5.6): a
+single dataclass tree with per-robot profiles and YAML loading.
+
+Defaults mirror the reference production configs:
+  locus/config/lo_settings.yaml
+  point_cloud_odometry/config/parameters.yaml
+  point_cloud_localization/config/parameters.yaml
+  point_cloud_filter/config/parameters.yaml
+
+Fields that shape traced programs (capacities, iteration counts, K) are
+static Python ints so jit sees fixed shapes; runtime-mutable knobs (the
+adaptive voxel leaf size) live in device state instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class RegistrationConfig:
+    """GICP/NDT registration budget.
+
+    Mirrors point_cloud_odometry/config/parameters.yaml (scan-to-scan
+    profile) — scan-to-submap overrides via `localization_default()`.
+    """
+
+    registration_method: str = "gicp"  # "gicp" | "ndt"
+    tf_epsilon: float = 0.001          # transformation_epsilon
+    rotation_epsilon: float = 2e-3     # gicp.h:rotation_epsilon_ default
+    corr_dist: float = 1.0             # max correspondence distance [m]
+    iterations: int = 20               # outer ICP iterations
+    inner_iterations: int = 8          # Gauss-Newton inner iterations
+    transform_thresholding: bool = True
+    max_translation: float = 1.0       # gate on per-scan delta [m]
+    max_rotation: float = 1.0          # gate on per-scan delta [rad]
+    recompute_covariances: bool = False  # derive from normals (production path)
+    gicp_epsilon: float = 0.001        # plane-disk small eigenvalue
+    k_correspondences: int = 20        # K for covariance estimation
+    # NDT-specific
+    ndt_resolution: float = 1.0
+    ndt_step_size: float = 0.1
+    levenberg_lambda: float = 1e-6     # GN damping (not in reference; tiny)
+
+    @staticmethod
+    def localization_default() -> "RegistrationConfig":
+        """Scan-to-submap profile (point_cloud_localization/config/parameters.yaml)."""
+        return RegistrationConfig(
+            tf_epsilon=1e-5,
+            corr_dist=0.2,
+            iterations=20,
+            inner_iterations=8,
+        )
+
+
+@dataclass(frozen=True)
+class LocalizationConfig:
+    registration: RegistrationConfig = field(
+        default_factory=RegistrationConfig.localization_default
+    )
+    compute_icp_covariance: bool = True
+    icp_covariance_method: int = 1      # 1 = point-to-plane (only supported)
+    icp_max_covariance: float = 0.01
+    compute_icp_observability: bool = False
+    normal_search_radius: float = 10.0
+    k_nearest_neighbours: int = 10
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """point_cloud_filter/config/parameters.yaml equivalents."""
+
+    grid_filter: bool = False
+    grid_res: float = 0.2
+    random_filter: bool = False
+    decimate_percentage: float = 0.90
+    decimate_percentage_open_space: float = 0.93
+    outlier_filter: bool = False
+    outlier_std: float = 1.0
+    outlier_knn: int = 10
+    radius_filter: bool = False
+    radius: float = 0.15
+    radius_knn: int = 3
+    extract_features: bool = False
+    # body crop box (BodyFilter nodelet; per-robot defaults from
+    # locus/config/body_filter_params_husky.yaml)
+    body_filter: bool = True
+    box_min: tuple = (-0.6, -0.6, -0.6)
+    box_max: tuple = (0.6, 0.6, 0.6)
+    # normal computation (NormalComputation nodelet)
+    normals_k: int = 20
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    """Keyframe sliding-window map (lo_settings.yaml sliding-window block)."""
+
+    b_enable_msw: bool = True
+    box_filter_size: float = 20.0
+    translation_threshold_msw: float = 5.0
+    rotational_velocity_threshold: float = 1.0
+    translational_velocity_threshold: float = 0.1
+    velocity_buffer_size: int = 10
+    map_voxel_leaf: float = 0.15       # map store dedup resolution
+    map_capacity: int = 1 << 17        # padded map point budget (131072)
+    keyframe_capacity: int = 4096      # padded points per inserted keyframe
+    num_shards: int = 1                # map point-axis shards (mesh axis "map")
+
+
+@dataclass(frozen=True)
+class FusionConfig:
+    """Sensor-prior integration (lo_settings.yaml data_integration +
+    dynamic-switching block)."""
+
+    data_integration_mode: int = 3     # 0 none, 1 imu, 2 imu-yaw, 3 odom
+    sensor_health_timeout: float = 0.4
+    imu_buffer_size: int = 128
+    odometry_buffer_size: int = 128
+    max_buffer_staleness: float = 0.1  # GetMsgAtTime rejection (Locus.cc:853-887)
+    b_integrate_interpolated_odom: bool = False
+    b_convert_imu_to_base_link_frame: bool = False
+
+
+@dataclass(frozen=True)
+class MergerConfig:
+    """point_cloud_merger parameters."""
+
+    number_of_velodynes: int = 1
+    b_use_random_filter: bool = False
+    decimate_percentage: float = 0.9
+    b_use_radius_filter: bool = False
+    radius: float = 0.15
+    radius_knn: int = 3
+
+
+@dataclass(frozen=True)
+class LocusConfig:
+    """Top-level config (lo_settings.yaml)."""
+
+    # -- capacities (static; shape-defining) --
+    scan_capacity: int = 4096          # padded per-scan point budget
+    raw_scan_capacity: int = 32768     # pre-voxelization budget (merged)
+
+    # -- orchestrator --
+    odom_pub_rate: float = 10.0
+    translation_threshold_kf: float = 1.0
+    rotation_threshold_kf: float = 0.3
+    translation_threshold_closed_space_kf: float = 1.0
+    rotation_threshold_closed_space_kf: float = 0.3
+    translation_threshold_open_space_kf: float = 2.0
+    rotation_threshold_open_space_kf: float = 0.6
+    xy_cross_section_threshold: float = 2500.0
+    b_is_flat_ground_assumption: bool = False
+    b_add_keyframes_enabled: bool = True
+    b_enable_computation_time_profiling: bool = True
+    b_run_with_gt_point_cloud: bool = False
+    gt_point_cloud_filename: Optional[str] = None
+    map_publishment_meters: int = 1
+    statistics_time_window: float = 5.0
+
+    # -- adaptive input voxelization (Locus.cc:780-810) --
+    b_adaptive_input_voxelization: bool = True
+    points_to_process_in_callback: int = 3000
+    voxel_leaf_min: float = 0.01
+    voxel_leaf_max: float = 5.0
+
+    # -- subsystems --
+    odometry: RegistrationConfig = field(default_factory=RegistrationConfig)
+    localization: LocalizationConfig = field(default_factory=LocalizationConfig)
+    filtering: FilterConfig = field(default_factory=FilterConfig)
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    merger: MergerConfig = field(default_factory=MergerConfig)
+
+    # ---------------------------------------------------------------------
+    def replace(self, **kw) -> "LocusConfig":
+        return dataclasses.replace(self, **kw)
+
+    @staticmethod
+    def robot_profile(robot: str) -> "LocusConfig":
+        """Per-robot specialization (reference launch-file logic,
+        locus/launch/locus.launch:13-84: husky vs spot)."""
+        cfg = LocusConfig()
+        if robot.startswith("husky"):
+            return cfg.replace(
+                merger=MergerConfig(number_of_velodynes=3),
+            )
+        if robot.startswith("spot"):
+            return cfg.replace(
+                fusion=dataclasses.replace(
+                    cfg.fusion,
+                    data_integration_mode=1,
+                    b_integrate_interpolated_odom=True,
+                ),
+                localization=dataclasses.replace(
+                    cfg.localization,
+                    registration=dataclasses.replace(
+                        cfg.localization.registration, iterations=25
+                    ),
+                ),
+            )
+        return cfg
+
+
+def _update_dataclass(obj, data: dict):
+    """Recursively apply a nested dict onto a (frozen) dataclass tree."""
+    changes = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        cur = getattr(obj, f.name)
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            changes[f.name] = _update_dataclass(cur, v)
+        else:
+            changes[f.name] = tuple(v) if isinstance(v, list) and isinstance(cur, tuple) else v
+    return dataclasses.replace(obj, **changes)
+
+
+def load_yaml(path: str, base: Optional[LocusConfig] = None) -> LocusConfig:
+    """Load a YAML profile on top of defaults (≈ rosparam load)."""
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return _update_dataclass(base or LocusConfig(), data)

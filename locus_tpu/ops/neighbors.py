@@ -1,0 +1,142 @@
+"""Batched nearest-neighbor search.
+
+TPU-first replacement for the reference's pervasive KD-tree/FLANN lookups
+(GICP covariances gicp.hpp:89-154, GICP correspondences gicp.hpp:463-498,
+localization re-lookup PointCloudLocalization.cc:327-336, mapper
+ApproxNearestNeighbors, outlier filters, normal estimation).
+
+Design: a KD-tree is a pointer-chasing, branch-heavy structure — the
+worst possible fit for a systolic array. On TPU the fastest exact
+neighbor search at LOCUS's working sizes (≈3k scan points, ≤131k map
+points) is a *blocked dense distance computation on the MXU*:
+
+    ||a - b||^2 = ||a||^2 + ||b||^2 - 2 a·b
+
+where the cross term is a matmul. A (3k x 131k) problem is ~2.4 GFLOP —
+microseconds at TPU speeds — and tiles cleanly through VMEM. We compute
+it in target-chunks with a running top-k merge so the full distance
+matrix never materializes in HBM.
+
+Padded points carry PAD_COORD sentinels, so they are never selected as
+neighbors and queries at the sentinel position return garbage that is
+masked downstream.
+
+Precision note: coordinate matmuls use HIGHEST precision — default TPU
+matmul precision (bf16 passes) would cost centimeters at 100 m scene
+scale, which breaks correspondence sets.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_PRECISION = lax.Precision.HIGHEST
+
+
+def pairwise_sqdist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(N,3),(M,3) -> (N,M) squared distances via the MXU."""
+    a2 = jnp.sum(a * a, axis=-1)
+    b2 = jnp.sum(b * b, axis=-1)
+    cross = jnp.dot(a, b.T, precision=_PRECISION)
+    d2 = a2[:, None] + b2[None, :] - 2.0 * cross
+    return jnp.maximum(d2, 0.0)
+
+
+def knn(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    k: int,
+    chunk: int = 4096,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact k-NN of each query point in target.
+
+    Args:
+      query:  (N, 3) float32.
+      target: (M, 3) float32 (padded lanes = PAD_COORD, auto-excluded by
+              distance).
+      k:      neighbors per query (static).
+      chunk:  target chunk size for the blocked scan (static).
+
+    Returns:
+      (dists2, idx): (N, k) squared distances and (N, k) target indices,
+      sorted ascending by distance.
+    """
+    n, m = query.shape[0], target.shape[0]
+    k = min(k, m)
+    if m <= chunk:
+        d2 = pairwise_sqdist(query, target)
+        neg, idx = lax.top_k(-d2, k)
+        return -neg, idx
+
+    num_chunks = -(-m // chunk)
+    pad_m = num_chunks * chunk
+    if pad_m != m:
+        target = jnp.pad(target, ((0, pad_m - m), (0, 0)), constant_values=1e8)
+    target_chunks = target.reshape(num_chunks, chunk, 3)
+
+    def body(carry, inp):
+        best_d2, best_idx = carry
+        tgt, c = inp
+        d2 = pairwise_sqdist(query, tgt)  # (N, chunk)
+        idx = jnp.arange(chunk, dtype=jnp.int32)[None, :] + c * chunk
+        # merge with running best: concat and re-top-k
+        cat_d2 = jnp.concatenate([best_d2, d2], axis=1)
+        cat_idx = jnp.concatenate([best_idx, jnp.broadcast_to(idx, d2.shape)], axis=1)
+        neg, pos = lax.top_k(-cat_d2, k)
+        return (-neg, jnp.take_along_axis(cat_idx, pos, axis=1)), None
+
+    init = (
+        jnp.full((n, k), jnp.inf, dtype=query.dtype),
+        jnp.zeros((n, k), dtype=jnp.int32),
+    )
+    chunk_ids = jnp.arange(num_chunks, dtype=jnp.int32)
+    (best_d2, best_idx), _ = lax.scan(body, init, (target_chunks, chunk_ids))
+    return best_d2, best_idx
+
+
+def nearest(
+    query: jnp.ndarray, target: jnp.ndarray, chunk: int = 4096
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """1-NN: (N,) squared distance and (N,) index."""
+    if target.shape[0] <= chunk:
+        d2 = pairwise_sqdist(query, target)
+        idx = jnp.argmin(d2, axis=1).astype(jnp.int32)
+        return jnp.take_along_axis(d2, idx[:, None], axis=1)[:, 0], idx
+    d2, idx = knn(query, target, k=1, chunk=chunk)
+    return d2[:, 0], idx[:, 0]
+
+
+def radius_count(
+    query: jnp.ndarray,
+    target: jnp.ndarray,
+    radius: float,
+    chunk: int = 4096,
+) -> jnp.ndarray:
+    """Number of target points within `radius` of each query point
+    (including the point itself if present in target) — serves the radius
+    outlier filter (reference pcl::RadiusOutlierRemoval use,
+    PointCloudFilter.cc / PointCloudMerger.cc)."""
+    n, m = query.shape[0], target.shape[0]
+    r2 = radius * radius
+    num_chunks = -(-m // chunk)
+    pad_m = num_chunks * chunk
+    if pad_m != m:
+        target = jnp.pad(target, ((0, pad_m - m), (0, 0)), constant_values=1e8)
+    target_chunks = target.reshape(num_chunks, chunk, 3)
+
+    def body(acc, tgt):
+        d2 = pairwise_sqdist(query, tgt)
+        return acc + jnp.sum(d2 <= r2, axis=1).astype(jnp.int32), None
+
+    counts, _ = lax.scan(body, jnp.zeros((n,), jnp.int32), target_chunks)
+    return counts
+
+
+def gather_knn(
+    points: jnp.ndarray, idx: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather (N,k) neighbor indices from (M,3) points -> (N,k,3)."""
+    return points[idx]

@@ -1,0 +1,91 @@
+"""Per-point normal estimation via local PCA.
+
+Replaces the reference's NormalComputation nodelet
+(point_cloud_filter/src/normal_computation.cc — pcl::NormalEstimationOMP,
+kNN k=20 default) and `addNormal` (point_cloud_localization/src/utils.cc).
+
+TPU-first: kNN via the MXU (ops.neighbors), then a batched closed-form
+symmetric 3x3 eigendecomposition — no per-point loops, no LAPACK.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.ops import neighbors
+
+_EPS = 1e-12
+
+
+def smallest_eigenvector_sym3x3(A: jnp.ndarray):
+    """Batched (.., 3, 3) symmetric -> (smallest eigenvalue, eigenvector).
+
+    Analytic trigonometric eigenvalues (Smith's method) + eigenvector via
+    the column-space of the product of the two complementary shifted
+    matrices. Entirely branch-free, f32-safe for PCA covariances.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    tr = a00 + a11 + a22
+    q = tr / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, _EPS))
+    # det(B)/2 with B = (A - qI)/p
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / (p * p * p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam1 = q + 2.0 * p * jnp.cos(phi)                     # largest
+    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    lam2 = tr - lam1 - lam3
+
+    # v3 spans the column space of (A - lam1 I)(A - lam2 I)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    M = jnp.einsum(
+        "...ij,...jk->...ik",
+        A - lam1[..., None, None] * eye,
+        A - lam2[..., None, None] * eye,
+    )
+    norms = jnp.linalg.norm(M, axis=-2)  # column norms (...,3)
+    col = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(M, col[..., None, None].repeat(3, axis=-2), axis=-1)[..., 0]
+    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    # Degenerate (isotropic / p1≈0) fallback: z axis.
+    fallback = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 1.0], dtype=A.dtype), v.shape
+    )
+    degenerate = (vn[..., 0] < 1e-10) | (p1 < _EPS)
+    v = jnp.where(degenerate[..., None], fallback, v / jnp.maximum(vn, _EPS))
+    return lam3, v
+
+
+def estimate_normals(
+    cloud: PointCloud,
+    k: int = 20,
+    viewpoint=(0.0, 0.0, 0.0),
+) -> PointCloud:
+    """PCA normals from k nearest neighbors, oriented toward `viewpoint`
+    (PCL flips normals so n . (vp - p) >= 0)."""
+    d2, idx = neighbors.knn(cloud.xyz, cloud.xyz, k=k)
+    nbr = cloud.xyz[idx]                      # (N, k, 3)
+    nbr_mask = cloud.mask[idx]                # padded lanes excluded via mask
+    w = nbr_mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    nbr_safe = jnp.where(nbr_mask[..., None], nbr, 0.0)
+    mean = jnp.sum(nbr_safe * w[..., None], axis=1) / denom[:, None]
+    centered = jnp.where(nbr_mask[..., None], nbr - mean[:, None, :], 0.0)
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / denom[:, None, None]
+
+    curvature_den, normal = smallest_eigenvector_sym3x3(cov)
+
+    vp = jnp.asarray(viewpoint, dtype=jnp.float32)
+    flip = jnp.sum(normal * (vp - cloud.xyz), axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    normal = jnp.where(cloud.mask[:, None], normal, 0.0)
+    return PointCloud(cloud.xyz, normal, cloud.intensity, cloud.mask)

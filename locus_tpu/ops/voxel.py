@@ -1,0 +1,102 @@
+"""Voxel-grid downsampling and the adaptive input-voxelization law.
+
+Replaces the reference's pcl::VoxelGrid / CustomVoxelGrid nodelet
+(point_cloud_filter/src/custom_voxel_grid.cc) and the adaptive leaf-size
+feedback loop (locus/src/Locus.cc:780-810).
+
+TPU-first design: no hash tables. Points are keyed by integer voxel
+coordinates, lexicographically sorted (XLA sorts are fast, fixed-shape),
+runs of equal keys become segments, and per-voxel centroids come from
+`segment_sum`. Fully deterministic and mask-aware.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from locus_tpu.core.cloud import PointCloud, PAD_COORD
+
+# Voxel coordinates are offset into [0, 2^20) per axis and compared
+# lexicographically, so scenes up to leaf*2^20 in extent are exact.
+_COORD_OFFSET = 1 << 19
+_COORD_MAX = (1 << 20) - 1
+
+
+def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, leaf) -> jnp.ndarray:
+    """(N,3) points -> (N,3) int32 voxel coords; invalid lanes get the max
+    key so they sort to the end."""
+    ijk = jnp.floor(xyz / leaf).astype(jnp.int32) + _COORD_OFFSET
+    ijk = jnp.clip(ijk, 0, _COORD_MAX - 1)
+    return jnp.where(mask[:, None], ijk, _COORD_MAX)
+
+
+def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> PointCloud:
+    """Voxel-grid downsample: one centroid per occupied voxel.
+
+    All fields (xyz, normals, intensity) are averaged per voxel, matching
+    pcl::VoxelGrid's downsample_all_data behavior; normals are
+    re-normalized. `leaf` may be a traced scalar (runtime-adjustable —
+    the CustomVoxelGrid `change_leaf_size` capability).
+    """
+    n = cloud.capacity
+    cap = capacity if capacity is not None else n
+    ijk = voxel_keys(cloud.xyz, cloud.mask, leaf)
+
+    # Lexicographic sort by (x, y, z); invalid last.
+    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    ijk_s = ijk[order]
+    xyz_s = jnp.where(cloud.mask[order][:, None], cloud.xyz[order], 0.0)
+    nrm_s = cloud.normals[order]
+    int_s = cloud.intensity[order]
+    mask_s = cloud.mask[order]
+
+    is_new = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=0), axis=1)
+    is_new = is_new.at[0].set(True)
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,) segment ids
+
+    w = mask_s.astype(jnp.float32)
+    counts = jax.ops.segment_sum(w, seg, num_segments=n)
+    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=n)
+    nsum = jax.ops.segment_sum(nrm_s * w[:, None], seg, num_segments=n)
+    isum = jax.ops.segment_sum(int_s * w, seg, num_segments=n)
+
+    denom = jnp.maximum(counts, 1.0)
+    cx = sums / denom[:, None]
+    cn = nsum / jnp.linalg.norm(nsum, axis=-1, keepdims=True).clip(1e-12)
+    ci = isum / denom
+    valid = counts > 0.0
+
+    out = PointCloud(
+        jnp.where(valid[:, None], cx, PAD_COORD),
+        jnp.where(valid[:, None], cn, 0.0),
+        jnp.where(valid, ci, 0.0),
+        valid,
+    )
+    # Segments are already front-packed (cumsum ids start at 0), so a plain
+    # truncation-compact keeps all valid voxels as long as cap >= #voxels.
+    if cap != n:
+        out = PointCloud(
+            out.xyz[:cap], out.normals[:cap], out.intensity[:cap], out.mask[:cap]
+        )
+    return out
+
+
+def adaptive_leaf_update(
+    leaf: jnp.ndarray,
+    num_points: jnp.ndarray,
+    target_points: int,
+    leaf_min: float = 0.01,
+    leaf_max: float = 5.0,
+):
+    """Adaptive input-voxelization feedback law (Locus.cc:780-810):
+    next_leaf = clip(leaf * n/target, leaf_min, leaf_max).
+
+    Returns (next_leaf, changed) where `changed` mirrors the reference's
+    |delta| > 0.01 publish condition.
+    """
+    proposal = leaf * (num_points.astype(jnp.float32) / float(target_points))
+    proposal = jnp.clip(proposal, leaf_min, leaf_max)
+    changed = jnp.abs(leaf - proposal) > 0.01
+    next_leaf = jnp.where(changed, proposal, leaf)
+    return next_leaf, changed
