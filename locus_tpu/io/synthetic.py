@@ -1,0 +1,187 @@
+"""Procedural point-cloud fixtures and a simulated multi-ring lidar.
+
+Mirrors the reference's test fixtures (GenerateCubic / GenerateHollowCubic
+/ GeneratePlane — point_cloud_odometry/test/test_point_cloud_odometry.cpp:23-124,
+point_cloud_localization/test/test_point_cloud_localization.cpp:26-47) and
+adds a VLP-16-style raycast simulator over a procedurally generated world,
+which serves as the dataset-replay stand-in for the nebula rosbags
+(not shipped with the reference checkout).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Simple fixtures (numpy; converted by callers)
+# ---------------------------------------------------------------------------
+
+def hollow_cube(step: float = 0.1, side: float = 1.0, jitter: float = 0.0, seed: int = 0):
+    """Points on the 6 faces of a cube, with outward face normals.
+
+    Returns (xyz, normals) float32 arrays.
+    """
+    rng = np.random.default_rng(seed)
+    lin = np.arange(0.0, side + 1e-6, step, dtype=np.float32)
+    u, v = np.meshgrid(lin, lin, indexing="ij")
+    u = u.ravel()
+    v = v.ravel()
+    zeros = np.zeros_like(u)
+    ones = np.full_like(u, side)
+    faces = [
+        (np.stack([u, v, zeros], 1), [0, 0, -1]),
+        (np.stack([u, v, ones], 1), [0, 0, 1]),
+        (np.stack([u, zeros, v], 1), [0, -1, 0]),
+        (np.stack([u, ones, v], 1), [0, 1, 0]),
+        (np.stack([zeros, u, v], 1), [-1, 0, 0]),
+        (np.stack([ones, u, v], 1), [1, 0, 0]),
+    ]
+    xyz = np.concatenate([f[0] for f in faces]).astype(np.float32)
+    nrm = np.concatenate(
+        [np.tile(np.asarray(n, np.float32), (f.shape[0], 1)) for f, n in faces]
+    )
+    if jitter > 0:
+        xyz = xyz + rng.normal(scale=jitter, size=xyz.shape).astype(np.float32)
+    return xyz, nrm
+
+
+def plane(
+    nx: int = 20, ny: int = 20, step: float = 0.1, z: float = 0.0
+):
+    """Axis-aligned plane grid with +z normals (GeneratePlane analog)."""
+    xs = np.arange(nx, dtype=np.float32) * step
+    ys = np.arange(ny, dtype=np.float32) * step
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    xyz = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, z, np.float32)], 1)
+    nrm = np.tile(np.asarray([0, 0, 1], np.float32), (xyz.shape[0], 1))
+    return xyz, nrm
+
+
+# ---------------------------------------------------------------------------
+# Simulated lidar world
+# ---------------------------------------------------------------------------
+
+class BoxWorld:
+    """A world of axis-aligned boxes (rooms, tunnels, pillars) supporting
+    ray casting — the synthetic stand-in for subterranean environments.
+
+    Boxes are (min_xyz, max_xyz) and rays hit their *interior* surfaces if
+    `inside=True` (a tunnel/room shell) or exterior if False (obstacle).
+    """
+
+    def __init__(self):
+        self.shells = []     # list[(lo, hi)] rays bounce inside
+        self.obstacles = []  # list[(lo, hi)] rays hit outside
+
+    def add_shell(self, lo, hi):
+        self.shells.append((np.asarray(lo, np.float64), np.asarray(hi, np.float64)))
+        return self
+
+    def add_obstacle(self, lo, hi):
+        self.obstacles.append((np.asarray(lo, np.float64), np.asarray(hi, np.float64)))
+        return self
+
+    @staticmethod
+    def default_tunnel(length: float = 120.0):
+        """A long tunnel with side rooms and pillars (subT-flavored)."""
+        w = BoxWorld()
+        w.add_shell([-5.0, -4.0, -1.5], [length + 5.0, 4.0, 3.5])
+        rng = np.random.default_rng(7)
+        x = 8.0
+        while x < length:
+            # pillars alternate sides
+            side = 1.0 if (int(x) // 8) % 2 == 0 else -1.0
+            cx = x + rng.uniform(-1, 1)
+            cy = side * rng.uniform(1.0, 2.5)
+            w.add_obstacle([cx - 0.4, cy - 0.4, -1.5], [cx + 0.4, cy + 0.4, 1.5])
+            x += 8.0
+        return w
+
+    # -- ray casting --------------------------------------------------------
+    def raycast(self, origins: np.ndarray, dirs: np.ndarray, max_range: float = 100.0):
+        """Batch ray cast: origins (N,3), dirs (N,3) unit. Returns
+        (hits (N,3) float32, valid (N,) bool)."""
+        n = origins.shape[0]
+        t_best = np.full(n, max_range, dtype=np.float64)
+        inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
+
+        def slab(lo, hi):
+            t0 = (lo[None, :] - origins) * inv
+            t1 = (hi[None, :] - origins) * inv
+            tmin = np.minimum(t0, t1)
+            tmax = np.maximum(t0, t1)
+            enter = tmin.max(axis=1)
+            exit_ = tmax.min(axis=1)
+            return enter, exit_
+
+        for lo, hi in self.shells:
+            # inside a shell: hit at exit point
+            enter, exit_ = slab(lo, hi)
+            hit = (exit_ > 0) & (enter < exit_)
+            t = np.where(hit, exit_, np.inf)
+            t_best = np.minimum(t_best, t)
+        for lo, hi in self.obstacles:
+            enter, exit_ = slab(lo, hi)
+            hit = (enter > 1e-9) & (enter < exit_)
+            t = np.where(hit, enter, np.inf)
+            t_best = np.minimum(t_best, t)
+
+        valid = t_best < max_range - 1e-6
+        hits = origins + dirs * t_best[:, None]
+        return hits.astype(np.float32), valid
+
+
+def vlp16_directions(azimuth_steps: int = 900):
+    """VLP-16 ray directions: 16 rings at elevations -15..+15 deg, `azimuth_steps`
+    azimuth bins (sensor_description/urdf/sensors/VLP-16.urdf.xacro)."""
+    elev = np.deg2rad(np.linspace(-15.0, 15.0, 16))
+    azim = np.linspace(0.0, 2 * np.pi, azimuth_steps, endpoint=False)
+    az, el = np.meshgrid(azim, elev, indexing="ij")
+    d = np.stack(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], axis=-1
+    )
+    return d.reshape(-1, 3), az.reshape(-1), el.reshape(-1)
+
+
+def simulate_scan(
+    world: BoxWorld,
+    pose: np.ndarray,
+    azimuth_steps: int = 900,
+    max_range: float = 60.0,
+    noise: float = 0.01,
+    seed: int = 0,
+):
+    """Simulate one VLP-16 sweep from a 4x4 world-frame pose.
+
+    Returns (xyz_sensor (M,3) float32, valid mask): points in the SENSOR
+    frame (like a real driver), Gaussian range noise applied.
+    """
+    rng = np.random.default_rng(seed)
+    dirs_s, _, _ = vlp16_directions(azimuth_steps)
+    R = pose[:3, :3].astype(np.float64)
+    t = pose[:3, 3].astype(np.float64)
+    dirs_w = dirs_s @ R.T
+    origins = np.broadcast_to(t, dirs_w.shape).copy()
+    hits_w, valid = world.raycast(origins, dirs_w, max_range=max_range)
+    # back to sensor frame
+    pts_s = (hits_w.astype(np.float64) - t) @ R
+    if noise > 0:
+        rr = np.linalg.norm(pts_s, axis=1, keepdims=True)
+        pts_s = pts_s * (1.0 + rng.normal(scale=noise, size=(pts_s.shape[0], 1)) / np.maximum(rr, 1.0))
+    return pts_s.astype(np.float32), valid
+
+
+def make_trajectory(num_poses: int, step: float = 0.35, seed: int = 3) -> np.ndarray:
+    """Forward motion along +x with sinusoidal lateral sway and yaw —
+    (num_poses, 4, 4) ground-truth poses."""
+    poses = np.zeros((num_poses, 4, 4))
+    x = np.arange(num_poses) * step
+    y = 0.8 * np.sin(x * 0.12)
+    yaw = np.gradient(y, x if num_poses > 1 else 1.0) if num_poses > 1 else np.zeros(1)
+    yaw = np.arctan(yaw)
+    for i in range(num_poses):
+        c, s = np.cos(yaw[i]), np.sin(yaw[i])
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        poses[i, :3, 3] = [x[i], y[i], 0.0]
+    return poses

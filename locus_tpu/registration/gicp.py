@@ -1,0 +1,271 @@
+"""Batched Generalized-ICP on TPU.
+
+TPU-native re-design of the reference's core compute kernel,
+MultithreadedGeneralizedIterativeClosestPoint
+(multithreaded_gicp/include/multithreaded_gicp/gicp.hpp):
+
+  reference (CPU)                          this module (TPU)
+  -------------------------------------    --------------------------------
+  per-point k=20 KD-tree NN + SVD          MXU kNN + closed-form 3x3 PCA,
+  covariance (gicp.hpp:64-156)             singular values -> (1,1,eps)
+  covariance-from-normals fast path        C = R_n diag(1,1,eps) R_n^T
+  (gicp.hpp:81-82, production default)     = I - (1-eps) n n^T, batched
+  OpenMP 1-NN + Mahalanobis loop           blocked MXU 1-NN + batched 3x3
+  (gicp.hpp:463-498)                       inverse, corr_dist^2 gating
+  BFGS over (t, euler-ZYX)                 Gauss-Newton on the SE(3)
+  (gicp.hpp:217-402)                       tangent space, batched normal
+                                           equations on the MXU
+  outer loop w/ epsilon-scaled             lax.while_loop with the same
+  elementwise delta test                   scaled elementwise delta test
+  (gicp.hpp:526-566)                       (delta < 1 convergence)
+
+The objective is identical: min_x sum_i r_i^T M_i r_i with
+M_i = (C2_j + R C1_i R^T)^{-1}, r_i = T(x) p_i - q_j. Holding M fixed
+during the inner solve (as the reference does per outer iteration),
+Gauss-Newton reaches the same fixed points as BFGS but in far fewer,
+fully batched iterations — no line search, no per-point branching.
+
+Everything is fixed-shape: invalid source lanes and gated
+correspondences get zero weight, so padding never affects the solution
+(the determinism-across-layouts contract of
+test_same_output_different_num_threads.cpp carries over).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from locus_tpu.config import RegistrationConfig
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.geometry import se3
+from locus_tpu.ops import neighbors
+from locus_tpu.ops.normals import smallest_eigenvector_sym3x3
+
+
+class GICPResult(NamedTuple):
+    transform: jnp.ndarray       # (4,4) final source->target transform (incl. guess)
+    converged: jnp.ndarray       # bool
+    iterations: jnp.ndarray      # int32 outer iterations used
+    fitness: jnp.ndarray         # mean squared corr distance at convergence
+    correspondences: jnp.ndarray  # (N,) int32 target index per source point
+    corr_mask: jnp.ndarray       # (N,) bool valid & gated correspondences
+    num_correspondences: jnp.ndarray  # int32
+
+
+# ---------------------------------------------------------------------------
+# Per-point covariances
+# ---------------------------------------------------------------------------
+
+def covariance_from_normals(normals: jnp.ndarray, epsilon: float) -> jnp.ndarray:
+    """GICP plane-disk covariance from unit normals: eigenvalues (1,1,eps)
+    with eps along the normal — C = I - (1-eps) n n^T. This is the
+    production path (recompute_covariances: false; external
+    CalculateCovarianceFromNormals, gicp.hpp:81-82)."""
+    n = normals
+    eye = jnp.eye(3, dtype=n.dtype)
+    nnT = n[..., :, None] * n[..., None, :]
+    return eye - (1.0 - epsilon) * nnT
+
+
+def covariance_from_neighborhood(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    epsilon: float,
+) -> jnp.ndarray:
+    """Recompute path (gicp.hpp:89-156): k-NN PCA covariance with singular
+    values regularized to (1, 1, eps). Equivalent to the disk covariance
+    built from the local PCA normal."""
+    _, idx = neighbors.knn(xyz, xyz, k=k)
+    nbr = xyz[idx]
+    nbr_mask = mask[idx]
+    w = nbr_mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    nbr_safe = jnp.where(nbr_mask[..., None], nbr, 0.0)
+    mean = jnp.sum(nbr_safe * w[..., None], axis=1) / denom[:, None]
+    centered = jnp.where(nbr_mask[..., None], nbr - mean[:, None, :], 0.0)
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / denom[:, None, None]
+    _, normal = smallest_eigenvector_sym3x3(cov)
+    return covariance_from_normals(normal, epsilon)
+
+
+# ---------------------------------------------------------------------------
+# Batched 3x3 symmetric inverse (adjugate form)
+# ---------------------------------------------------------------------------
+
+def inv3x3(A: jnp.ndarray, ridge: float = 1e-6) -> jnp.ndarray:
+    """Closed-form batched inverse of (..,3,3) SPD matrices."""
+    A = A + ridge * jnp.eye(3, dtype=A.dtype)
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    # symmetric input assumed
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    inv = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co01, co11, co12], axis=-1),
+            jnp.stack([co02, co12, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return inv * inv_det[..., None, None]
+
+
+# ---------------------------------------------------------------------------
+# The registration kernel
+# ---------------------------------------------------------------------------
+
+def _gauss_newton_step(p_cur, q, M, w, lm_lambda):
+    """One weighted GN step for min sum_i w_i r^T M r, r = exp(xi) p - q.
+
+    Returns the 6-twist update. Jacobian of r wrt xi=[v,w] at xi=0:
+    J_i = [I | -skew(p_i)] (3,6).
+    """
+    r = p_cur - q                               # (N,3)
+    P = se3.skew(p_cur)                         # (N,3,3)
+    Mw = M * w[:, None, None]
+    # J^T M J blocks; J = [I  -P]
+    MP = jnp.einsum("nij,njk->nik", Mw, P)      # (N,3,3) = M @ skew(p)
+    H_tt = jnp.sum(Mw, axis=0)                  # Σ M
+    H_tw = -jnp.sum(MP, axis=0)                 # Σ -M P
+    PtMP = jnp.einsum("nji,njk->nik", P, MP)    # P^T M P
+    H_ww = jnp.sum(PtMP, axis=0)
+    Mr = jnp.einsum("nij,nj->ni", Mw, r)        # (N,3)
+    g_t = jnp.sum(Mr, axis=0)
+    g_w = -jnp.sum(jnp.einsum("nji,nj->ni", P, Mr), axis=0)  # -P^T M r
+
+    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+    g = jnp.concatenate([g_t, g_w])
+    H = H + lm_lambda * jnp.eye(6, dtype=H.dtype) * jnp.maximum(
+        jnp.trace(H) / 6.0, 1.0
+    ) * 1e-6
+    dx = -jnp.linalg.solve(H, g)
+    return dx
+
+
+def _scaled_delta(T_prev: jnp.ndarray, T_new: jnp.ndarray, cfg: RegistrationConfig):
+    """Reference convergence metric (gicp.hpp:526-541): elementwise |ΔT|
+    scaled by 1/rotation_epsilon on the 3x3 block and 1/tf_epsilon
+    elsewhere; converged when the max < 1."""
+    diff = jnp.abs(T_prev - T_new)
+    scale = jnp.full((4, 4), 1.0 / cfg.tf_epsilon, dtype=diff.dtype)
+    scale = scale.at[:3, :3].set(1.0 / cfg.rotation_epsilon)
+    return jnp.max(diff * scale)
+
+
+def gicp_register(
+    source: PointCloud,
+    target: PointCloud,
+    guess: Optional[jnp.ndarray] = None,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    source_cov: Optional[jnp.ndarray] = None,
+    target_cov: Optional[jnp.ndarray] = None,
+) -> GICPResult:
+    """Align `source` to `target`; returns source->target transform.
+
+    Matches the reference flow (gicp.hpp:405-617): the guess pre-warps
+    the source; the iterated transform starts at identity and the final
+    result is T_iter @ guess.
+    """
+    if guess is None:
+        guess = se3.identity()
+
+    # Covariances (production path: from normals).
+    if source_cov is None:
+        if cfg.recompute_covariances:
+            source_cov = covariance_from_neighborhood(
+                source.xyz, source.mask, cfg.k_correspondences, cfg.gicp_epsilon
+            )
+        else:
+            source_cov = covariance_from_normals(source.normals, cfg.gicp_epsilon)
+    if target_cov is None:
+        if cfg.recompute_covariances:
+            target_cov = covariance_from_neighborhood(
+                target.xyz, target.mask, cfg.k_correspondences, cfg.gicp_epsilon
+            )
+        else:
+            target_cov = covariance_from_normals(target.normals, cfg.gicp_epsilon)
+
+    src0 = se3.transform_points(guess, source.xyz)   # pre-warped source
+    src0 = jnp.where(source.mask[:, None], src0, source.xyz)  # keep sentinels
+    corr_dist2 = cfg.corr_dist * cfg.corr_dist
+
+    def outer_cond(carry):
+        T, it, delta, _, _ = carry
+        return (it < cfg.iterations) & (delta >= 1.0)
+
+    def outer_body(carry):
+        T, it, _, _, _ = carry
+        R = se3.rotation(T)
+        p = se3.transform_points(T, src0)            # current source positions
+        d2, j = neighbors.nearest(p, target.xyz)
+        w = (
+            source.mask
+            & target.mask[j]
+            & (d2 <= corr_dist2)
+        ).astype(jnp.float32)
+
+        q = target.xyz[j]
+        C2 = target_cov[j]
+        RC1Rt = jnp.einsum(
+            "ij,njk,lk->nil", R, source_cov, R,
+            precision=lax.Precision.HIGHEST,
+        )
+        M = inv3x3(C2 + RC1Rt)
+
+        # Inner Gauss-Newton: correspondences and M fixed (as in the
+        # reference's per-outer-iteration BFGS).
+        def inner_body(_, T_in):
+            p_cur = se3.transform_points(T_in, src0)
+            p_cur = jnp.where(source.mask[:, None], p_cur, q)  # zero-residual pads
+            dx = _gauss_newton_step(p_cur, q, M, w, cfg.levenberg_lambda)
+            return se3.compose(se3.se3_exp(dx), T_in)
+
+        T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
+        T_new = se3.make_transform(
+            se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
+        )
+        delta = _scaled_delta(T, T_new, cfg)
+        nw = jnp.maximum(jnp.sum(w), 1.0)
+        fitness = jnp.sum(d2 * w) / nw
+        return (T_new, it + 1, delta, fitness, jnp.sum(w).astype(jnp.int32))
+
+    init = (
+        se3.identity(),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    T_fin, iters, delta, fitness, ncorr = lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    final = se3.compose(T_fin, guess)
+    # Final correspondences at the converged pose (consumed by the
+    # localization covariance re-lookup, PointCloudLocalization.cc:327-336).
+    p_fin = se3.transform_points(final, source.xyz)
+    d2_fin, j_fin = neighbors.nearest(
+        jnp.where(source.mask[:, None], p_fin, source.xyz), target.xyz
+    )
+    corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= corr_dist2)
+
+    return GICPResult(
+        transform=final,
+        converged=delta < 1.0,
+        iterations=iters,
+        fitness=fitness,
+        correspondences=j_fin,
+        corr_mask=corr_mask,
+        num_correspondences=ncorr,
+    )

@@ -1,0 +1,137 @@
+"""GICP registration tests — port of the reference's test semantics:
+
+- hollow-cube shift recovery to 1e-2
+  (point_cloud_odometry/test/test_point_cloud_odometry.cpp:280-305)
+- determinism across parallel layouts
+  (multithreaded_gicp/test/test_same_output_different_num_threads.cpp)
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from locus_tpu.config import RegistrationConfig
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.geometry import se3
+from locus_tpu.io import synthetic
+from locus_tpu.registration.gicp import (
+    gicp_register,
+    covariance_from_normals,
+    covariance_from_neighborhood,
+    inv3x3,
+)
+
+
+def make_cube_cloud(capacity=1024, **kw):
+    xyz, nrm = synthetic.hollow_cube(step=0.1, **kw)
+    return PointCloud.from_points(xyz, capacity=capacity, normals=nrm)
+
+
+def test_inv3x3(rng):
+    A = rng.normal(size=(20, 3, 3)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3, dtype=np.float32)
+    Ainv = np.asarray(inv3x3(jnp.asarray(A), ridge=0.0))
+    prod = A @ Ainv
+    np.testing.assert_allclose(prod, np.tile(np.eye(3), (20, 1, 1)), atol=1e-3)
+
+
+def test_covariance_from_normals():
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    C = np.asarray(covariance_from_normals(n, 0.001))[0]
+    np.testing.assert_allclose(np.diag(C), [1.0, 1.0, 0.001], atol=1e-6)
+    w, _ = np.linalg.eigh(C)
+    np.testing.assert_allclose(np.sort(w), [0.001, 1.0, 1.0], atol=1e-6)
+
+
+def test_covariance_from_neighborhood_plane(rng):
+    xyz, _ = synthetic.plane(nx=15, ny=15, step=0.1)
+    pc = PointCloud.from_points(xyz, capacity=256)
+    C = np.asarray(
+        covariance_from_neighborhood(pc.xyz, pc.mask, k=10, epsilon=0.001)
+    )
+    # plane points: smallest eigen-direction = z with eigenvalue ~epsilon
+    valid = np.asarray(pc.mask)
+    for Ci in C[valid][:20]:
+        w, v = np.linalg.eigh(Ci)
+        np.testing.assert_allclose(w, [0.001, 1.0, 1.0], atol=1e-3)
+        assert abs(v[:, 0] @ [0, 0, 1]) > 0.99
+
+
+def test_translation_recovery_cube():
+    """Reference UpdateEstimateUpdateICP: 0.05 m shift recovered to 1e-2."""
+    src = make_cube_cloud()
+    shift = np.array([0.05, 0.0, 0.0], dtype=np.float32)
+    T_true = se3.make_transform(jnp.eye(3), jnp.asarray(shift))
+    tgt = src.transform(T_true)
+    res = gicp_register(src, tgt, cfg=RegistrationConfig(corr_dist=1.0))
+    t = np.asarray(se3.translation(res.transform))
+    np.testing.assert_allclose(t, shift, atol=1e-2)
+    assert bool(res.converged)
+
+
+def test_rigid_recovery_cube():
+    src = make_cube_cloud()
+    w = np.array([0.02, -0.03, 0.05], dtype=np.float32)
+    t = np.array([0.04, -0.03, 0.02], dtype=np.float32)
+    T_true = se3.make_transform(se3.so3_exp(jnp.asarray(w)), jnp.asarray(t))
+    tgt = src.transform(T_true)
+    res = gicp_register(src, tgt, cfg=RegistrationConfig())
+    T = np.asarray(res.transform)
+    err = np.asarray(se3.se3_log(se3.compose(se3.inverse(T_true), jnp.asarray(T))))
+    assert np.linalg.norm(err) < 1e-2, err
+
+
+def test_warm_start_guess():
+    """A good prior (guess) lets GICP converge on a larger displacement."""
+    src = make_cube_cloud()
+    w = np.array([0.0, 0.0, 0.3], dtype=np.float32)
+    t = np.array([0.4, 0.1, 0.0], dtype=np.float32)
+    T_true = se3.make_transform(se3.so3_exp(jnp.asarray(w)), jnp.asarray(t))
+    tgt = src.transform(T_true)
+    # guess within a few cm of truth
+    T_guess = se3.make_transform(
+        se3.so3_exp(jnp.asarray(w + 0.02)), jnp.asarray(t - 0.03)
+    )
+    res = gicp_register(src, tgt, guess=T_guess, cfg=RegistrationConfig())
+    err = np.asarray(
+        se3.se3_log(se3.compose(se3.inverse(T_true), res.transform))
+    )
+    assert np.linalg.norm(err) < 1e-2, err
+
+
+def test_determinism_across_chunk_layouts():
+    """Analog of test_same_output_different_num_threads: the result must
+    not depend on the parallel decomposition (here: kNN chunk size has no
+    effect since it's exact; repeated runs are bit-identical)."""
+    src = make_cube_cloud()
+    T_true = se3.make_transform(jnp.eye(3), jnp.asarray([0.05, 0.02, -0.03]))
+    tgt = src.transform(T_true)
+    r1 = gicp_register(src, tgt, cfg=RegistrationConfig())
+    r2 = gicp_register(src, tgt, cfg=RegistrationConfig())
+    np.testing.assert_array_equal(np.asarray(r1.transform), np.asarray(r2.transform))
+    np.testing.assert_array_equal(
+        np.asarray(r1.correspondences), np.asarray(r2.correspondences)
+    )
+
+
+def test_padding_invariance():
+    """Extra padding lanes must not change the solution (the layout-
+    independence contract)."""
+    xyz, nrm = synthetic.hollow_cube(step=0.1)
+    a_small = PointCloud.from_points(xyz, capacity=800, normals=nrm)
+    a_big = PointCloud.from_points(xyz, capacity=1600, normals=nrm)
+    T_true = se3.make_transform(jnp.eye(3), jnp.asarray([0.05, 0.0, 0.0]))
+    r1 = gicp_register(a_small, a_small.transform(T_true), cfg=RegistrationConfig())
+    r2 = gicp_register(a_big, a_big.transform(T_true), cfg=RegistrationConfig())
+    np.testing.assert_allclose(
+        np.asarray(r1.transform), np.asarray(r2.transform), atol=1e-5
+    )
+
+
+def test_gated_correspondences():
+    """Points beyond corr_dist are excluded."""
+    src = make_cube_cloud()
+    tgt = src  # identity
+    res = gicp_register(src, tgt, cfg=RegistrationConfig(corr_dist=0.5))
+    assert int(res.num_correspondences) == int(src.count())
+    np.testing.assert_allclose(
+        np.asarray(res.transform), np.eye(4), atol=1e-4
+    )
