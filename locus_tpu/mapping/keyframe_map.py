@@ -1,0 +1,113 @@
+"""Keyframe sliding-window map.
+
+TPU-native replacement for LOCUS's external `point_cloud_mapper` package
+(octree / multithreaded / ikd-tree mappers — interface used by the
+orchestrator at locus/src/Locus.cc:464-543: Initialize, UpdateCurrentPose,
+InsertPoints, ApproxNearestNeighbors, Refresh, PublishMap).
+
+Design: instead of a pointer-based octree, the map is a fixed-capacity
+struct-of-arrays point store in the fixed (world) frame, written as a
+ring buffer. Geometry dedup happens at insertion (a new point is kept
+only if no stored point lies within `map_voxel_leaf`), and the
+map-sliding-window (MSW) Refresh is a mask eviction of points outside a
+box around the robot (lo_settings.yaml:47-62). kNN queries are blocked
+MXU distance computations (ops.neighbors), which at <=131k stored points
+beat any tree on TPU. The point axis is shardable across devices
+(parallel/sharded_map.py).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from locus_tpu.config import MapperConfig
+from locus_tpu.core.cloud import PointCloud, PAD_COORD
+from locus_tpu.ops import neighbors
+
+
+class MapState(NamedTuple):
+    cloud: PointCloud              # world-frame stored points (+normals)
+    write_ptr: jnp.ndarray         # int32 ring pointer
+    num_keyframes: jnp.ndarray     # int32
+    last_refresh_position: jnp.ndarray  # (3,) of last MSW refresh
+
+
+def init_map(cfg: MapperConfig) -> MapState:
+    return MapState(
+        cloud=PointCloud.empty(cfg.map_capacity),
+        write_ptr=jnp.asarray(0, jnp.int32),
+        num_keyframes=jnp.asarray(0, jnp.int32),
+        last_refresh_position=jnp.zeros((3,), jnp.float32),
+    )
+
+
+def insert_keyframe(
+    state: MapState, keyframe: PointCloud, cfg: MapperConfig
+) -> MapState:
+    """Insert a world-frame keyframe cloud (mapper_->InsertPoints,
+    Locus.cc:523-529). Novelty gate: keep only points farther than
+    `map_voxel_leaf` from every stored point; write them at the ring
+    pointer (overwriting the oldest entries once full)."""
+    leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
+    d2, _ = neighbors.nearest(keyframe.xyz, state.cloud.xyz)
+    novel = keyframe.mask & (d2 > leaf2)
+
+    kf = keyframe.with_mask(novel).compact()     # novel points to the front
+    k = kf.capacity
+    cap = state.cloud.capacity
+    n_novel = kf.count()
+
+    slot = (state.write_ptr + jnp.arange(k, dtype=jnp.int32)) % cap
+    # Only the first n_novel slots carry data; drop the rest so stale map
+    # entries are not clobbered by padding.
+    write_idx = jnp.where(kf.mask, slot, cap)    # cap = out of range -> drop
+
+    cloud = state.cloud
+    new_cloud = PointCloud(
+        cloud.xyz.at[write_idx].set(kf.xyz, mode="drop"),
+        cloud.normals.at[write_idx].set(kf.normals, mode="drop"),
+        cloud.intensity.at[write_idx].set(kf.intensity, mode="drop"),
+        cloud.mask.at[write_idx].set(kf.mask, mode="drop"),
+    )
+    return MapState(
+        cloud=new_cloud,
+        write_ptr=(state.write_ptr + n_novel.astype(jnp.int32)) % cap,
+        num_keyframes=state.num_keyframes + 1,
+        last_refresh_position=state.last_refresh_position,
+    )
+
+
+def refresh_msw(
+    state: MapState, position: jnp.ndarray, cfg: MapperConfig
+) -> MapState:
+    """Map-sliding-window refresh (mapper_->Refresh, Locus.cc:536-538):
+    evict stored points outside a box_filter_size box centered on the
+    robot. Caller decides *when* (moved > translation_threshold_msw and
+    velocity low — pipeline.py)."""
+    half = cfg.box_filter_size * 0.5
+    inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
+    keep = state.cloud.mask & inside
+    cloud = state.cloud.with_mask(keep)
+    return state._replace(cloud=cloud, last_refresh_position=position)
+
+
+def approx_nearest_neighbors(
+    state: MapState, query: PointCloud
+) -> PointCloud:
+    """mapper_->ApproxNearestNeighbors (Locus.cc:479): for each query
+    point (world frame) return its nearest stored map point — the
+    'submap' reference cloud consumed by scan-to-submap GICP. Shape
+    matches the query; queries with no valid map point are masked."""
+    d2, idx = neighbors.nearest(query.xyz, state.cloud.xyz)
+    mask = query.mask & state.cloud.mask[idx]
+    return PointCloud(
+        jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),
+        jnp.where(mask[:, None], state.cloud.normals[idx], 0.0),
+        jnp.where(mask, state.cloud.intensity[idx], 0.0),
+        mask,
+    )
+
+
+def map_size(state: MapState) -> jnp.ndarray:
+    return state.cloud.count()
