@@ -1,0 +1,255 @@
+"""Sensor-prior fusion: IMU / wheel-odometry buffers, the health cascade,
+and per-scan prior selection.
+
+Functional re-design of the reference's sensor integration machinery
+(locus/src/Locus.cc):
+
+- ring buffers + nearest-timestamp lookup with staleness rejection
+  (GetMsgAtTime, Locus.cc:853-887; buffer caps lo_settings.yaml queues)
+- health checks against sensor_health_timeout (IsOdomHealthy /
+  IsImuHealthy, Locus.cc:892-902)
+- the prior cascade odom -> imu -> pure lidar-only
+  (IntegrateSensors, Locus.cc:904-924)
+- IMU delta (full rotation or yaw-only per data_integration_mode 1/2,
+  Locus.cc:1017-1042, 816-830) and odometry delta (prev^-1 * cur,
+  Locus.cc:926-947)
+
+Buffers are fixed-size device arrays (timestamp + payload + valid mask);
+all selection logic is branch-free jnp so the whole prior pipeline lives
+inside the jitted per-scan step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from locus_tpu.config import FusionConfig
+from locus_tpu.geometry import se3
+
+# Prior source codes (diagnostics)
+PRIOR_NONE = 0
+PRIOR_IMU = 1
+PRIOR_IMU_YAW = 2
+PRIOR_ODOM = 3
+
+
+class ImuBuffer(NamedTuple):
+    stamps: jnp.ndarray   # (B,) float64-ish seconds (float32 ok for relative)
+    quats: jnp.ndarray    # (B,4) wxyz orientation
+    valid: jnp.ndarray    # (B,) bool
+    ptr: jnp.ndarray      # int32 ring pointer
+    last_reception: jnp.ndarray  # float32 wall stamp of last insert
+
+
+class OdomBuffer(NamedTuple):
+    stamps: jnp.ndarray   # (B,)
+    poses: jnp.ndarray    # (B,4,4)
+    valid: jnp.ndarray    # (B,) bool
+    ptr: jnp.ndarray
+    last_reception: jnp.ndarray
+
+
+class FusionState(NamedTuple):
+    imu: ImuBuffer
+    odom: OdomBuffer
+    # previous-sample anchors for delta computation
+    imu_quat_prev: jnp.ndarray       # (4,)
+    imu_received: jnp.ndarray        # bool
+    odom_pose_prev: jnp.ndarray      # (4,4)
+    odom_received: jnp.ndarray       # bool
+
+
+class PriorSelection(NamedTuple):
+    prior: jnp.ndarray       # (4,4) motion prior for GICP warm start
+    source: jnp.ndarray      # int32 PRIOR_* code
+    pure_lo: jnp.ndarray     # bool — no usable sensor
+    state: "FusionState"
+
+
+def init_state(cfg: FusionConfig) -> FusionState:
+    bi, bo = cfg.imu_buffer_size, cfg.odometry_buffer_size
+    imu = ImuBuffer(
+        stamps=jnp.full((bi,), -jnp.inf, jnp.float32),
+        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (bi, 1)),
+        valid=jnp.zeros((bi,), bool),
+        ptr=jnp.asarray(0, jnp.int32),
+        last_reception=jnp.asarray(-jnp.inf, jnp.float32),
+    )
+    odom = OdomBuffer(
+        stamps=jnp.full((bo,), -jnp.inf, jnp.float32),
+        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (bo, 1, 1)),
+        valid=jnp.zeros((bo,), bool),
+        ptr=jnp.asarray(0, jnp.int32),
+        last_reception=jnp.asarray(-jnp.inf, jnp.float32),
+    )
+    return FusionState(
+        imu=imu,
+        odom=odom,
+        imu_quat_prev=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+        imu_received=jnp.asarray(False),
+        odom_pose_prev=jnp.eye(4, dtype=jnp.float32),
+        odom_received=jnp.asarray(False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion (ImuCallback / OdometryCallback equivalents)
+# ---------------------------------------------------------------------------
+
+def push_imu(
+    state: FusionState, stamp, quat_wxyz, wall_time=None
+) -> FusionState:
+    """Insert one IMU orientation sample (Locus.cc:356-372). NaN samples
+    are dropped (CheckNans, Locus.cc:733-743)."""
+    quat = jnp.asarray(quat_wxyz, jnp.float32)
+    ok = ~jnp.any(jnp.isnan(quat))
+    b = state.imu
+    i = b.ptr % b.stamps.shape[0]
+    wall = stamp if wall_time is None else wall_time
+    nb = ImuBuffer(
+        stamps=jnp.where(ok, b.stamps.at[i].set(stamp), b.stamps),
+        quats=jnp.where(ok, b.quats.at[i].set(quat), b.quats),
+        valid=jnp.where(ok, b.valid.at[i].set(True), b.valid),
+        ptr=jnp.where(ok, b.ptr + 1, b.ptr),
+        last_reception=jnp.where(ok, jnp.asarray(wall, jnp.float32), b.last_reception),
+    )
+    return state._replace(imu=nb)
+
+
+def push_odom(state: FusionState, stamp, pose_4x4, wall_time=None) -> FusionState:
+    """Insert one odometry pose sample (Locus.cc:374-399)."""
+    pose = jnp.asarray(pose_4x4, jnp.float32)
+    ok = ~jnp.any(jnp.isnan(pose))
+    b = state.odom
+    i = b.ptr % b.stamps.shape[0]
+    wall = stamp if wall_time is None else wall_time
+    nb = OdomBuffer(
+        stamps=jnp.where(ok, b.stamps.at[i].set(stamp), b.stamps),
+        poses=jnp.where(ok, b.poses.at[i].set(pose), b.poses),
+        valid=jnp.where(ok, b.valid.at[i].set(True), b.valid),
+        ptr=jnp.where(ok, b.ptr + 1, b.ptr),
+        last_reception=jnp.where(ok, jnp.asarray(wall, jnp.float32), b.last_reception),
+    )
+    return state._replace(odom=nb)
+
+
+def push_imu_batch(state: FusionState, stamps, quats) -> FusionState:
+    """Vectorized ingest of a (K,) stamp + (K,4) quat window with -inf
+    stamps as padding (host feeds per-scan sensor windows)."""
+    import jax
+    from jax import lax
+
+    def body(st, x):
+        stamp, quat = x
+        ok = jnp.isfinite(stamp)
+        new = push_imu(st, stamp, quat, wall_time=stamp)
+        st = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, b, a), st, new)
+        return st, None
+
+    state, _ = lax.scan(body, state, (jnp.asarray(stamps, jnp.float32),
+                                      jnp.asarray(quats, jnp.float32)))
+    return state
+
+
+def push_odom_batch(state: FusionState, stamps, poses) -> FusionState:
+    import jax
+    from jax import lax
+
+    def body(st, x):
+        stamp, pose = x
+        ok = jnp.isfinite(stamp)
+        new = push_odom(st, stamp, pose, wall_time=stamp)
+        st = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, b, a), st, new)
+        return st, None
+
+    state, _ = lax.scan(body, state, (jnp.asarray(stamps, jnp.float32),
+                                      jnp.asarray(poses, jnp.float32)))
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Lookup + health
+# ---------------------------------------------------------------------------
+
+def _nearest_in_buffer(stamps, valid, stamp, max_staleness):
+    """GetMsgAtTime (Locus.cc:853-887): nearest-timestamp entry, rejected
+    when farther than max_staleness. Returns (index, found)."""
+    diff = jnp.abs(stamps - stamp)
+    diff = jnp.where(valid, diff, jnp.inf)
+    i = jnp.argmin(diff)
+    found = diff[i] <= max_staleness
+    return i.astype(jnp.int32), found
+
+
+def is_odom_healthy(state: FusionState, now, cfg: FusionConfig):
+    return (now - state.odom.last_reception) < cfg.sensor_health_timeout
+
+
+def is_imu_healthy(state: FusionState, now, cfg: FusionConfig):
+    return (now - state.imu.last_reception) < cfg.sensor_health_timeout
+
+
+# ---------------------------------------------------------------------------
+# Prior integration (the cascade)
+# ---------------------------------------------------------------------------
+
+def integrate_sensors(
+    state: FusionState, stamp, now, cfg: FusionConfig
+) -> PriorSelection:
+    """IntegrateSensors (Locus.cc:904-924): choose odom if healthy and
+    mode>=3, else IMU if healthy and mode>=1 (yaw-only for mode 2), else
+    pure lidar-only with identity prior.
+
+    Branch-free: all three candidate priors are computed and selected by
+    predicate, so the whole cascade compiles into the jitted step.
+    """
+    mode = cfg.data_integration_mode
+
+    # -- odometry delta ----------------------------------------------------
+    oi, o_found = _nearest_in_buffer(
+        state.odom.stamps, state.odom.valid, stamp, cfg.max_buffer_staleness
+    )
+    odom_pose = state.odom.poses[oi]
+    odom_delta = se3.pose_delta(state.odom_pose_prev, odom_pose)
+    odom_usable = o_found & state.odom_received
+
+    # -- imu delta ---------------------------------------------------------
+    ii, i_found = _nearest_in_buffer(
+        state.imu.stamps, state.imu.valid, stamp, cfg.max_buffer_staleness
+    )
+    imu_quat = state.imu.quats[ii]
+    dq = se3.quat_multiply(se3.quat_conjugate(state.imu_quat_prev), imu_quat)
+    R_full = se3.quat_to_matrix(dq)
+    R_yaw = se3.yaw_only_matrix(R_full)
+    R_imu = R_yaw if mode == 2 else R_full
+    imu_prior = se3.make_transform(R_imu, jnp.zeros(3))
+    imu_usable = i_found & state.imu_received
+
+    odom_healthy = is_odom_healthy(state, now, cfg) & o_found
+    imu_healthy = is_imu_healthy(state, now, cfg) & i_found
+
+    use_odom = odom_healthy & (mode >= 3)
+    use_imu = (~use_odom) & imu_healthy & (mode >= 1)
+
+    prior = jnp.where(
+        use_odom & odom_usable,
+        se3.make_transform(se3.rotation(odom_delta), se3.translation(odom_delta)),
+        jnp.where(use_imu & imu_usable, imu_prior, se3.identity()),
+    )
+    source = jnp.where(
+        use_odom,
+        PRIOR_ODOM,
+        jnp.where(use_imu, PRIOR_IMU_YAW if mode == 2 else PRIOR_IMU, PRIOR_NONE),
+    ).astype(jnp.int32)
+    pure_lo = ~(use_odom | use_imu)
+
+    # First-sample anchoring (reference: first reception only stores the
+    # anchor and returns identity, Locus.cc:936-941, 1030-1034).
+    new_state = state._replace(
+        odom_pose_prev=jnp.where(use_odom, odom_pose, state.odom_pose_prev),
+        odom_received=jnp.where(use_odom, jnp.asarray(True), state.odom_received & use_odom),
+        imu_quat_prev=jnp.where(use_imu, imu_quat, state.imu_quat_prev),
+        imu_received=jnp.where(use_imu, jnp.asarray(True), state.imu_received & use_imu),
+    )
+    return PriorSelection(prior=prior, source=source, pure_lo=pure_lo, state=new_state)

@@ -1,0 +1,316 @@
+"""The LOCUS pipeline orchestrator: one jitted step per lidar sweep.
+
+Re-design of the Locus class + nodelet chain (locus/src/Locus.cc:425-561
+LidarCallback; locus/launch/locus.launch:145-186 preprocessing chain).
+The reference's multi-process ROS graph — merger -> body filter -> voxel
+grid -> normal computation -> Locus -> mapper — collapses into ONE
+XLA-compiled program per scan:
+
+    preprocess (crop+voxel+normals, fused)   [L2 nodelets]
+    -> prior selection cascade               [IntegrateSensors]
+    -> scan-to-scan GICP                     [PointCloudOdometry]
+    -> map kNN -> scan-to-submap GICP        [PointCloudLocalization]
+    -> covariance / observability            [ComputePoint2Plane...]
+    -> keyframe insert + MSW refresh         [mapper]
+
+plus the adaptive input-voxelization feedback (Locus.cc:780-810), the
+keyframe policy with open/closed-space thresholds (Locus.cc:514-543,
+571-576), and velocity-gated map-sliding-window refresh.
+
+State is a single pytree; the host loop just feeds fixed-shape scan
+tensors and sensor windows.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from locus_tpu import fusion, localization, odometry
+from locus_tpu.config import LocusConfig
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.geometry import se3
+from locus_tpu.mapping import keyframe_map as km
+from locus_tpu.ops import filters, normals as normals_op, voxel
+
+
+class Stats(NamedTuple):
+    scan_count: jnp.ndarray            # int32
+    keyframe_count: jnp.ndarray        # int32
+    rejected_scan_to_scan: jnp.ndarray
+    rejected_scan_to_map: jnp.ndarray
+    dropped_msgs: jnp.ndarray          # seq-gap statistics (CheckMsgDropRate)
+    last_seq: jnp.ndarray
+
+
+class VelocityBuffer(NamedTuple):
+    trans: jnp.ndarray   # (V,) recent translational velocities
+    rot: jnp.ndarray     # (V,) recent rotational velocities
+    ptr: jnp.ndarray
+
+
+class LocusState(NamedTuple):
+    odom: odometry.OdometryState
+    loc: localization.LocalizationState
+    map: km.MapState
+    fuse: fusion.FusionState
+    voxel_leaf: jnp.ndarray            # runtime-adaptive leaf size
+    last_keyframe_pose: jnp.ndarray    # (4,4)
+    previous_stamp: jnp.ndarray        # f32 seconds
+    velocities: VelocityBuffer
+    open_space: jnp.ndarray            # bool (localizer space monitor)
+    stats: Stats
+
+
+class StepOutput(NamedTuple):
+    pose: jnp.ndarray                  # (4,4) integrated world pose
+    covariance: jnp.ndarray            # (6,6)
+    condition_number: jnp.ndarray
+    prior_source: jnp.ndarray          # fusion.PRIOR_*
+    scan_to_scan_accepted: jnp.ndarray
+    scan_to_map_accepted: jnp.ndarray
+    keyframe_inserted: jnp.ndarray
+    msw_refreshed: jnp.ndarray
+    num_points: jnp.ndarray            # valid points after preprocessing
+    voxel_leaf: jnp.ndarray
+    odom_iterations: jnp.ndarray
+    loc_iterations: jnp.ndarray
+    map_size: jnp.ndarray
+
+
+def init_state(cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None) -> LocusState:
+    v = cfg.mapper.velocity_buffer_size
+    return LocusState(
+        odom=odometry.init_state(cfg.scan_capacity, initial_pose),
+        loc=localization.init_state(initial_pose),
+        map=km.init_map(cfg.mapper),
+        fuse=fusion.init_state(cfg.fusion),
+        voxel_leaf=jnp.asarray(cfg.filtering.grid_res, jnp.float32),
+        last_keyframe_pose=(
+            jnp.asarray(initial_pose, jnp.float32)
+            if initial_pose is not None
+            else se3.identity()
+        ),
+        previous_stamp=jnp.asarray(-1.0, jnp.float32),
+        velocities=VelocityBuffer(
+            trans=jnp.zeros((v,), jnp.float32),
+            rot=jnp.zeros((v,), jnp.float32),
+            ptr=jnp.asarray(0, jnp.int32),
+        ),
+        open_space=jnp.asarray(False),
+        stats=Stats(
+            scan_count=jnp.asarray(0, jnp.int32),
+            keyframe_count=jnp.asarray(0, jnp.int32),
+            rejected_scan_to_scan=jnp.asarray(0, jnp.int32),
+            rejected_scan_to_map=jnp.asarray(0, jnp.int32),
+            dropped_msgs=jnp.asarray(0, jnp.int32),
+            last_seq=jnp.asarray(-1, jnp.int32),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preprocessing (the fused nodelet chain)
+# ---------------------------------------------------------------------------
+
+def preprocess(
+    raw: PointCloud, leaf, cfg: LocusConfig, key: Optional[jax.Array] = None
+) -> PointCloud:
+    """body crop -> voxel grid (runtime leaf) -> optional filters ->
+    normals; returns a scan at cfg.scan_capacity."""
+    f = cfg.filtering
+    pc = raw
+    if f.body_filter:
+        pc = filters.crop_box(pc, f.box_min, f.box_max, negative=True)
+    pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
+    if f.random_filter and key is not None:
+        pc = filters.random_sample(pc, key, f.decimate_percentage)
+    if f.outlier_filter:
+        pc = filters.statistical_outlier(pc, f.outlier_knn, f.outlier_std)
+    if f.radius_filter:
+        pc = filters.radius_outlier(pc, f.radius, f.radius_knn)
+    pc = normals_op.estimate_normals(pc, k=f.normals_k)
+    return pc
+
+
+# ---------------------------------------------------------------------------
+# The per-scan step
+# ---------------------------------------------------------------------------
+
+def step(
+    state: LocusState,
+    raw_scan: PointCloud,
+    stamp: jnp.ndarray,
+    cfg: LocusConfig,
+    seq: Optional[jnp.ndarray] = None,
+) -> tuple[LocusState, StepOutput]:
+    """Process one merged sweep (base frame). Jit with static cfg:
+    jax.jit(partial(step, cfg=cfg)) or use make_step()."""
+    flat = cfg.b_is_flat_ground_assumption
+
+    # -- drop-rate statistics (Locus.cc:401-423) ---------------------------
+    stats = state.stats
+    if seq is not None:
+        gap = jnp.maximum(seq - stats.last_seq - 1, 0)
+        gap = jnp.where(stats.last_seq < 0, 0, gap)
+        stats = stats._replace(
+            dropped_msgs=stats.dropped_msgs + gap.astype(jnp.int32),
+            last_seq=jnp.asarray(seq, jnp.int32),
+        )
+
+    # -- preprocessing ------------------------------------------------------
+    scan = preprocess(raw_scan, state.voxel_leaf, cfg)
+
+    # -- adaptive input voxelization (Locus.cc:780-810): the feedback law
+    # acts on the POST-voxelization count (the reference observes the
+    # already-downsampled locus_input topic); the new leaf takes effect on
+    # the next scan, closing the loop at ~target points/scan. ------------
+    if cfg.b_adaptive_input_voxelization:
+        next_leaf, _ = voxel.adaptive_leaf_update(
+            state.voxel_leaf,
+            scan.count(),
+            cfg.points_to_process_in_callback,
+            cfg.voxel_leaf_min,
+            cfg.voxel_leaf_max,
+        )
+    else:
+        next_leaf = state.voxel_leaf
+
+    # -- prior selection (IntegrateSensors) --------------------------------
+    sel = fusion.integrate_sensors(state.fuse, stamp, stamp, cfg.fusion)
+
+    # -- scan-to-scan ------------------------------------------------------
+    odo = odometry.update(
+        state.odom, scan, prior=sel.prior, cfg=cfg.odometry, flat_ground=flat
+    )
+
+    # -- scan-to-submap -----------------------------------------------------
+    loc0 = localization.motion_update(state.loc, odo.state.incremental)
+    fixed = localization.transform_points_to_fixed_frame(loc0, scan)
+    neighbors = km.approx_nearest_neighbors(state.map, fixed)
+    neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
+    meas = localization.measurement_update(
+        loc0, scan, neighbors_sensor, cfg=cfg.localization, flat_ground=flat
+    )
+
+    # On the first scan there is no map: keep the initial pose.
+    have_map = state.map.num_keyframes > 0
+    loc_state = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(have_map, new, old), meas.state, loc0
+    )
+    pose = jnp.where(have_map, loc_state.integrated,
+                     jnp.where(odo.performed, odo.state.integrated, loc0.integrated))
+
+    # -- velocity buffer (for MSW gating) ----------------------------------
+    dt = jnp.maximum(stamp - state.previous_stamp, 1e-3)
+    first = state.previous_stamp < 0
+    inc = loc_state.incremental
+    v_t = jnp.where(first, 0.0, se3.translation_norm(inc) / dt)
+    v_r = jnp.where(first, 0.0, se3.rotation_angle(se3.rotation(inc)) / dt)
+    vb = state.velocities
+    vi = vb.ptr % vb.trans.shape[0]
+    vb = VelocityBuffer(
+        trans=vb.trans.at[vi].set(v_t),
+        rot=vb.rot.at[vi].set(v_r),
+        ptr=vb.ptr + 1,
+    )
+
+    # -- keyframe policy (Locus.cc:514-543, open/closed space :571-576) ----
+    delta_kf = se3.pose_delta(state.last_keyframe_pose, pose)
+    t_thresh = jnp.where(
+        state.open_space,
+        cfg.translation_threshold_open_space_kf,
+        cfg.translation_threshold_closed_space_kf,
+    )
+    r_thresh = jnp.where(
+        state.open_space,
+        cfg.rotation_threshold_open_space_kf,
+        cfg.rotation_threshold_closed_space_kf,
+    )
+    moved = (
+        (se3.translation_norm(delta_kf) > t_thresh)
+        | (se3.rotation_angle(se3.rotation(delta_kf)) > r_thresh)
+    )
+    is_first = state.stats.scan_count == 0
+    want_keyframe = (is_first | moved) & bool(cfg.b_add_keyframes_enabled)
+
+    world_scan = scan.transform(pose)
+
+    def do_insert(mp):
+        return km.insert_keyframe(mp, world_scan, cfg.mapper)
+
+    new_map = lax.cond(want_keyframe, do_insert, lambda mp: mp, state.map)
+    last_kf_pose = jnp.where(want_keyframe, pose, state.last_keyframe_pose)
+
+    # -- MSW refresh (Locus.cc:536-538; velocity gates lo_settings:47-62) --
+    if cfg.mapper.b_enable_msw:
+        pos = se3.translation(pose)
+        moved_msw = (
+            jnp.linalg.norm(pos - new_map.last_refresh_position)
+            > cfg.mapper.translation_threshold_msw
+        )
+        slow = (
+            (jnp.mean(vb.trans) < cfg.mapper.translational_velocity_threshold)
+            & (jnp.mean(vb.rot) < cfg.mapper.rotational_velocity_threshold)
+        )
+        want_refresh = moved_msw & slow & (new_map.num_keyframes > 0)
+        new_map = lax.cond(
+            want_refresh,
+            lambda mp: km.refresh_msw(mp, pos, cfg.mapper),
+            lambda mp: mp,
+            new_map,
+        )
+    else:
+        want_refresh = jnp.asarray(False)
+
+    stats = stats._replace(
+        scan_count=stats.scan_count + 1,
+        keyframe_count=stats.keyframe_count + want_keyframe.astype(jnp.int32),
+        rejected_scan_to_scan=stats.rejected_scan_to_scan
+        + (odo.performed & ~odo.accepted).astype(jnp.int32),
+        rejected_scan_to_map=stats.rejected_scan_to_map
+        + (have_map & ~meas.accepted).astype(jnp.int32),
+    )
+
+    new_state = LocusState(
+        odom=odo.state,
+        loc=loc_state,
+        map=new_map,
+        fuse=sel.state,
+        voxel_leaf=next_leaf,
+        last_keyframe_pose=last_kf_pose,
+        previous_stamp=jnp.asarray(stamp, jnp.float32),
+        velocities=vb,
+        open_space=state.open_space,
+        stats=stats,
+    )
+    out = StepOutput(
+        pose=pose,
+        covariance=loc_state.covariance,
+        condition_number=loc_state.condition_number,
+        prior_source=sel.source,
+        scan_to_scan_accepted=odo.accepted,
+        scan_to_map_accepted=meas.accepted & have_map,
+        keyframe_inserted=want_keyframe,
+        msw_refreshed=want_refresh,
+        num_points=scan.count(),
+        voxel_leaf=state.voxel_leaf,
+        odom_iterations=odo.icp.iterations,
+        loc_iterations=meas.icp.iterations,
+        map_size=km.map_size(new_map),
+    )
+    return new_state, out
+
+
+def set_open_space(state: LocusState, open_space) -> LocusState:
+    """Localizer-space-monitor hook (Locus.cc:316-319, 571-576): switch
+    keyframe thresholds between open/closed-space profiles."""
+    return state._replace(open_space=jnp.asarray(open_space))
+
+
+def make_step(cfg: LocusConfig):
+    """Returns a jit-compiled step(state, raw_scan, stamp, seq)."""
+    return jax.jit(partial(step, cfg=cfg), donate_argnums=(0,))

@@ -1,0 +1,105 @@
+"""Host-side replay runner: feeds a Sequence through the jitted pipeline.
+
+The equivalent of the reference's tmuxp rosbag-replay harness
+(tmuxp_config/run_locus.yaml): per scan it pushes the sensor windows into
+the device-resident fusion buffers and invokes one compiled step, then
+collects trajectory + diagnostics on the host.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from locus_tpu import fusion, pipeline
+from locus_tpu.config import LocusConfig
+from locus_tpu.core.cloud import PointCloud, PAD_COORD
+from locus_tpu.io.dataset import Sequence, sensor_windows_for_scan
+from locus_tpu.metrics import RateReport
+
+
+def pack_scan(xyz: np.ndarray, valid: np.ndarray, capacity: int):
+    """Host-side fixed-shape packing of a raw scan (numpy, cheap)."""
+    m = xyz.shape[0]
+    out = np.full((capacity, 3), PAD_COORD, np.float32)
+    msk = np.zeros((capacity,), bool)
+    take = min(m, capacity)
+    sel = np.nonzero(valid)[0][:take]
+    out[: sel.size] = xyz[sel]
+    msk[: sel.size] = True
+    return out, msk
+
+
+def make_replay_step(cfg: LocusConfig):
+    """One compiled function: sensor ingest + full scan pipeline."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def rstep(state, scan_xyz, scan_mask, stamp, imu_s, imu_q, odom_s, odom_p, seq_id):
+        fuse = fusion.push_imu_batch(state.fuse, imu_s, imu_q)
+        fuse = fusion.push_odom_batch(fuse, odom_s, odom_p)
+        state = state._replace(fuse=fuse)
+        raw = PointCloud(
+            jnp.where(scan_mask[:, None], scan_xyz, PAD_COORD),
+            jnp.zeros_like(scan_xyz),
+            jnp.zeros(scan_xyz.shape[0], jnp.float32),
+            scan_mask,
+        )
+        return pipeline.step(state, raw, stamp, cfg, seq=seq_id)
+
+    return rstep
+
+
+def run_sequence(
+    seq: Sequence,
+    cfg: Optional[LocusConfig] = None,
+    max_scans: Optional[int] = None,
+    collect_outputs: bool = True,
+):
+    """Replay a sequence; returns (poses (T,4,4), outputs list, RateReport)."""
+    cfg = cfg or LocusConfig()
+    rstep = make_replay_step(cfg)
+    state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+    # XLA dedups identical constants (several identity poses share one
+    # buffer) which breaks donation; force distinct buffers.
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+
+    n = len(seq) if max_scans is None else min(max_scans, len(seq))
+    poses = np.zeros((n, 4, 4), np.float64)
+    outputs = []
+    report = RateReport()
+
+    for i in range(n):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        t0 = time.perf_counter()
+        state, out = rstep(
+            state,
+            jnp.asarray(xyz),
+            jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s),
+            jnp.asarray(imu_q),
+            jnp.asarray(odom_s),
+            jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        pose = np.asarray(out.pose)
+        report.add(time.perf_counter() - t0)
+        poses[i] = pose
+        if collect_outputs:
+            outputs.append(
+                {
+                    "condition_number": float(out.condition_number),
+                    "prior_source": int(out.prior_source),
+                    "scan_to_map_accepted": bool(out.scan_to_map_accepted),
+                    "keyframe_inserted": bool(out.keyframe_inserted),
+                    "num_points": int(out.num_points),
+                    "voxel_leaf": float(out.voxel_leaf),
+                    "map_size": int(out.map_size),
+                }
+            )
+    return poses, outputs, report

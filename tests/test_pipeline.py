@@ -1,0 +1,89 @@
+"""End-to-end pipeline tests on a synthetic tunnel sequence (the
+dataset-replay regression harness — SURVEY §4 implication (3))."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from locus_tpu import pipeline
+from locus_tpu.config import (
+    FilterConfig,
+    FusionConfig,
+    LocusConfig,
+    MapperConfig,
+)
+from locus_tpu.io.dataset import make_tunnel_sequence
+from locus_tpu.metrics import ate_rmse
+from locus_tpu.runner import run_sequence
+
+
+def small_cfg(**kw) -> LocusConfig:
+    base = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=4096,
+        points_to_process_in_callback=800,  # must sit below scan_capacity
+        filtering=FilterConfig(body_filter=True, normals_k=12),
+        mapper=MapperConfig(
+            map_capacity=8192, keyframe_capacity=1024, map_voxel_leaf=0.1
+        ),
+    )
+    return base.replace(**kw)
+
+
+@pytest.fixture(scope="module")
+def tunnel_seq():
+    return make_tunnel_sequence(num_scans=12, azimuth_steps=256, step=0.3, seed=1)
+
+
+def test_replay_pure_lidar(tunnel_seq):
+    cfg = small_cfg(fusion=FusionConfig(data_integration_mode=0))
+    poses, outputs, report = run_sequence(tunnel_seq, cfg)
+    gt = tunnel_seq.gt_poses[: poses.shape[0]]
+    ate = ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False)
+    # 12 scans * 0.3 m: pure-LO should track within 15 cm
+    assert ate < 0.15, f"ATE {ate}"
+    assert outputs[0]["keyframe_inserted"]  # first scan becomes keyframe
+    assert outputs[-1]["map_size"] > 500
+
+
+def test_replay_with_odometry_prior(tunnel_seq):
+    cfg = small_cfg(fusion=FusionConfig(data_integration_mode=3))
+    poses, outputs, _ = run_sequence(tunnel_seq, cfg)
+    gt = tunnel_seq.gt_poses[: poses.shape[0]]
+    ate = ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False)
+    assert ate < 0.15, f"ATE {ate}"
+    # prior cascade should pick odometry (mode 3) after warm-up
+    assert outputs[-1]["prior_source"] == 3
+
+
+def test_adaptive_voxel_reacts(tunnel_seq):
+    cfg = small_cfg(
+        b_adaptive_input_voxelization=True, points_to_process_in_callback=500
+    )
+    _, outputs, _ = run_sequence(tunnel_seq, cfg, max_scans=6)
+    leaves = [o["voxel_leaf"] for o in outputs]
+    assert leaves[-1] != leaves[0]  # feedback moved the leaf
+    # point counts head toward the target
+    assert outputs[-1]["num_points"] < 1100
+
+
+def test_health_cascade_falls_back_to_imu(tunnel_seq):
+    """Strip odometry from the sequence -> mode 3 config should fall back
+    to IMU (source=1) and still track (dynamic switching, Locus.cc:904-924)."""
+    import dataclasses
+
+    seq = dataclasses.replace(tunnel_seq) if dataclasses.is_dataclass(tunnel_seq) else tunnel_seq
+    seq.odom_stamps = None
+    seq.odom_poses = None
+    cfg = small_cfg(fusion=FusionConfig(data_integration_mode=3))
+    poses, outputs, _ = run_sequence(seq, cfg)
+    assert outputs[-1]["prior_source"] == 1  # IMU
+    gt = seq.gt_poses[: poses.shape[0]]
+    assert ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False) < 0.2
+
+
+def test_condition_number_finite(tunnel_seq):
+    cfg = small_cfg()
+    _, outputs, _ = run_sequence(tunnel_seq, cfg, max_scans=4)
+    for o in outputs[1:]:
+        assert np.isfinite(o["condition_number"])
+        assert o["condition_number"] >= 1.0
