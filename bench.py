@@ -1,0 +1,108 @@
+"""Benchmark: full scan-to-submap pipeline throughput per chip.
+
+Replays a synthetic VLP-16 tunnel sequence (production-shaped: ~3000
+points/scan after adaptive voxelization, 131k-point sliding-window map,
+GICP scan-to-scan + scan-to-submap per sweep) through the device-side
+lax.scan replay and reports steady-state scans/sec on one chip.
+
+Baseline: the reference LOCUS real-time contract is 10 Hz lidar input
+processed at playback rate 1.0 on a robot CPU (README.md:117,
+lo_settings.yaml odom_pub_rate) — vs_baseline is the multiple of that
+10 Hz real-time rate (target from BASELINE.md: >= 10x).
+
+Prints ONE JSON line:
+  {"metric": "scans_per_sec_per_chip", "value": N, "unit": "scans/s",
+   "vs_baseline": N/10}
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform not in ("cpu",)
+
+    # Production-shaped config (lo_settings.yaml budgets: ~3000 pts/scan,
+    # 20 m map window; map capacity sized for the window at 0.15 m leaf).
+    if on_tpu:
+        cfg = LocusConfig(
+            scan_capacity=4096,
+            raw_scan_capacity=32768,
+            points_to_process_in_callback=3000,
+            filtering=FilterConfig(normals_k=20),
+            mapper=MapperConfig(
+                map_capacity=1 << 17, keyframe_capacity=4096, map_voxel_leaf=0.15
+            ),
+        )
+        num_scans, warmup_scans, azimuth = 48, 16, 1800
+    else:  # CI / smoke fallback
+        cfg = LocusConfig(
+            scan_capacity=1024,
+            raw_scan_capacity=8192,
+            points_to_process_in_callback=800,
+            filtering=FilterConfig(normals_k=12),
+            mapper=MapperConfig(
+                map_capacity=1 << 14, keyframe_capacity=1024, map_voxel_leaf=0.15
+            ),
+        )
+        num_scans, warmup_scans, azimuth = 12, 4, 512
+
+    seq = make_tunnel_sequence(
+        num_scans=num_scans, azimuth_steps=azimuth, step=0.35, seed=0
+    )
+    replay = make_scan_replay(cfg)
+
+    def fresh_state():
+        st = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    packed_warm = pack_sequence(seq, cfg, max_scans=warmup_scans)
+    packed_full = pack_sequence(seq, cfg, max_scans=num_scans)
+
+    # compile + warm caches
+    st = fresh_state()
+    st, (poses, _, _) = replay(st, packed_warm)
+    jax.block_until_ready(poses)
+
+    # timed run over the full sequence from a fresh state
+    best = 0.0
+    for _ in range(3):
+        st = fresh_state()
+        t0 = time.perf_counter()
+        st, (poses, cond, msz) = replay(st, packed_full)
+        jax.block_until_ready(poses)
+        dt = time.perf_counter() - t0
+        best = max(best, num_scans / dt)
+
+    # sanity: trajectory must track (guard against benchmarking a broken run)
+    gt = seq.gt_poses[:num_scans, :3, 3]
+    est = np.asarray(poses)[:, :3, 3]
+    ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
+
+    result = {
+        "metric": "scans_per_sec_per_chip",
+        "value": round(best, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(best / 10.0, 2),
+        "platform": platform,
+        "ate_m": round(ate, 4),
+        "scans": num_scans,
+        "map_capacity": cfg.mapper.map_capacity,
+        "scan_capacity": cfg.scan_capacity,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,102 @@ def make_replay_step(cfg: LocusConfig):
     return rstep
 
 
+def pack_sequence(seq: Sequence, cfg: LocusConfig, max_scans: Optional[int] = None):
+    """Prepack a whole sequence into fixed-shape device-ready arrays:
+    scans (T,cap,3), masks (T,cap), stamps (T,), imu windows (T,K,...),
+    odom windows (T,Ko,...)."""
+    n = len(seq) if max_scans is None else min(max_scans, len(seq))
+    cap = cfg.raw_scan_capacity
+    xyzs = np.zeros((n, cap, 3), np.float32)
+    masks = np.zeros((n, cap), bool)
+    imu_ss, imu_qs, odo_ss, odo_ps = [], [], [], []
+    for i in range(n):
+        xyzs[i], masks[i] = pack_scan(seq.scans[i], seq.scan_valid[i], cap)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        imu_ss.append(imu_s)
+        imu_qs.append(imu_q)
+        odo_ss.append(odom_s)
+        odo_ps.append(odom_p)
+    return dict(
+        scan_xyz=jnp.asarray(xyzs),
+        scan_mask=jnp.asarray(masks),
+        stamps=jnp.asarray(seq.stamps[:n], jnp.float32),
+        imu_s=jnp.asarray(np.stack(imu_ss)),
+        imu_q=jnp.asarray(np.stack(imu_qs)),
+        odom_s=jnp.asarray(np.stack(odo_ss)),
+        odom_p=jnp.asarray(np.stack(odo_ps)),
+        seq_ids=jnp.arange(n, dtype=jnp.int32),
+    )
+
+
+def make_scan_replay(cfg: LocusConfig):
+    """Device-side replay: one compiled program runs the whole sequence
+    via lax.scan (amortizes host dispatch — the bench path). Returns
+    replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
+    map_sizes (T,)))."""
+
+    def body(state, inp):
+        fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
+        fuse = fusion.push_odom_batch(fuse, inp["odom_s"], inp["odom_p"])
+        state = state._replace(fuse=fuse)
+        raw = PointCloud(
+            jnp.where(inp["scan_mask"][:, None], inp["scan_xyz"], PAD_COORD),
+            jnp.zeros_like(inp["scan_xyz"]),
+            jnp.zeros(inp["scan_xyz"].shape[0], jnp.float32),
+            inp["scan_mask"],
+        )
+        state, out = pipeline.step(state, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
+        return state, (out.pose, out.condition_number, out.map_size)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def replay(state, packed):
+        return jax.lax.scan(body, state, packed)
+
+    return replay
+
+
+def make_batched_replay(cfg: LocusConfig):
+    """Multi-sequence batch replay (the pod-scale DP axis, SURVEY §2.2
+    multi-robot row): vmap over a leading sequence axis; shard the batch
+    over the mesh "data" axis and the map store over "map" via the
+    shardings from parallel.mesh."""
+
+    def body(state, inp):
+        fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
+        fuse = fusion.push_odom_batch(fuse, inp["odom_s"], inp["odom_p"])
+        state = state._replace(fuse=fuse)
+        raw = PointCloud(
+            jnp.where(inp["scan_mask"][:, None], inp["scan_xyz"], PAD_COORD),
+            jnp.zeros_like(inp["scan_xyz"]),
+            jnp.zeros(inp["scan_xyz"].shape[0], jnp.float32),
+            inp["scan_mask"],
+        )
+        state, out = pipeline.step(state, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
+        return state, (out.pose, out.condition_number, out.map_size)
+
+    def replay_one(state, packed):
+        return jax.lax.scan(body, state, packed)
+
+    # batch axis: state pytree leading dim, packed arrays (B, T, ...)
+    vreplay = jax.vmap(replay_one, in_axes=(0, 1), out_axes=(0, 1))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def replay(states, packed):
+        return vreplay(states, packed)
+
+    return replay
+
+
+def stack_packed(packed_list):
+    """Stack per-sequence packed dicts for make_batched_replay: arrays
+    become (T, B, ...) — scan axis leading, batch axis second (matching
+    vmap in_axes=1)."""
+    return {
+        k: jnp.stack([p[k] for p in packed_list], axis=1)
+        for k in packed_list[0]
+    }
+
+
 def run_sequence(
     seq: Sequence,
     cfg: Optional[LocusConfig] = None,
