@@ -1,0 +1,116 @@
+"""Sensor fusion tests: buffers, GetMsgAtTime staleness, the health
+cascade (Locus.cc:853-924)."""
+import numpy as np
+import jax.numpy as jnp
+
+from locus_tpu import fusion
+from locus_tpu.config import FusionConfig
+from locus_tpu.geometry import se3
+
+
+CFG = FusionConfig(imu_buffer_size=16, odometry_buffer_size=16)
+
+
+def quat_yaw(yaw):
+    return np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)], np.float32)
+
+
+def pose_x(x):
+    T = np.eye(4, dtype=np.float32)
+    T[0, 3] = x
+    return T
+
+
+def test_push_and_lookup_imu():
+    st = fusion.init_state(CFG)
+    for t in [0.0, 0.1, 0.2]:
+        st = fusion.push_imu(st, t, quat_yaw(t))
+    i, found = fusion._nearest_in_buffer(st.imu.stamps, st.imu.valid, 0.11, 0.1)
+    assert bool(found)
+    np.testing.assert_allclose(float(st.imu.stamps[i]), 0.1, atol=1e-6)
+
+
+def test_staleness_rejection():
+    st = fusion.init_state(CFG)
+    st = fusion.push_imu(st, 0.0, quat_yaw(0.0))
+    _, found = fusion._nearest_in_buffer(st.imu.stamps, st.imu.valid, 5.0, 0.1)
+    assert not bool(found)
+
+
+def test_nan_dropped():
+    st = fusion.init_state(CFG)
+    st = fusion.push_imu(st, 0.0, np.array([np.nan, 0, 0, 0], np.float32))
+    assert int(jnp.sum(st.imu.valid)) == 0
+
+
+def test_cascade_prefers_odom():
+    cfg = FusionConfig(data_integration_mode=3)
+    st = fusion.init_state(cfg)
+    st = fusion.push_imu(st, 0.95, quat_yaw(0.1), wall_time=0.95)
+    st = fusion.push_odom(st, 0.9, pose_x(1.0), wall_time=0.9)
+    st = fusion.push_odom(st, 1.0, pose_x(1.5), wall_time=1.0)
+    # anchor (first selection returns identity prior)
+    sel = fusion.integrate_sensors(st, 0.9, 1.0, cfg)
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    st = sel.state
+    sel = fusion.integrate_sensors(st, 1.0, 1.05, cfg)
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    t = np.asarray(se3.translation(sel.prior))
+    np.testing.assert_allclose(t, [0.5, 0, 0], atol=1e-5)
+
+
+def test_cascade_falls_back_to_imu_then_pure_lo():
+    cfg = FusionConfig(data_integration_mode=3, sensor_health_timeout=0.4)
+    st = fusion.init_state(cfg)
+    st = fusion.push_imu(st, 0.0, quat_yaw(0.0), wall_time=0.0)
+    st = fusion.push_imu(st, 0.1, quat_yaw(0.2), wall_time=0.1)
+    # no odom at all -> IMU (after anchoring)
+    sel = fusion.integrate_sensors(st, 0.0, 0.1, cfg)
+    assert int(sel.source) == fusion.PRIOR_IMU
+    st = sel.state
+    sel = fusion.integrate_sensors(st, 0.1, 0.15, cfg)
+    assert int(sel.source) == fusion.PRIOR_IMU
+    R = np.asarray(se3.rotation(sel.prior))
+    yaw = np.arctan2(R[1, 0], R[0, 0])
+    np.testing.assert_allclose(yaw, 0.2, atol=1e-4)
+    # IMU goes stale -> pure LO
+    sel = fusion.integrate_sensors(sel.state, 1.0, 1.0, cfg)
+    assert bool(sel.pure_lo)
+    np.testing.assert_allclose(np.asarray(sel.prior), np.eye(4), atol=1e-6)
+
+
+def test_mode_gates_integration():
+    cfg = FusionConfig(data_integration_mode=0)
+    st = fusion.init_state(cfg)
+    st = fusion.push_odom(st, 1.0, pose_x(1.0), wall_time=1.0)
+    sel = fusion.integrate_sensors(st, 1.0, 1.0, cfg)
+    assert bool(sel.pure_lo)
+
+
+def test_yaw_only_mode():
+    cfg = FusionConfig(data_integration_mode=2)
+    st = fusion.init_state(cfg)
+    # full 3D rotation samples; mode 2 keeps only yaw
+    q0 = se3.matrix_to_quat(se3.so3_exp(jnp.asarray([0.1, 0.05, 0.0])))
+    q1 = se3.matrix_to_quat(
+        se3.compose(
+            se3.make_transform(se3.so3_exp(jnp.asarray([0.1, 0.05, 0.0])), jnp.zeros(3)),
+            se3.make_transform(se3.so3_exp(jnp.asarray([0.0, 0.0, 0.3])), jnp.zeros(3)),
+        )[:3, :3]
+    )
+    st = fusion.push_imu(st, 0.0, np.asarray(q0), wall_time=0.0)
+    st = fusion.push_imu(st, 0.1, np.asarray(q1), wall_time=0.1)
+    sel = fusion.integrate_sensors(st, 0.0, 0.05, cfg)
+    sel = fusion.integrate_sensors(sel.state, 0.1, 0.1, cfg)
+    R = np.asarray(se3.rotation(sel.prior))
+    r, p, y = se3.matrix_to_euler_zyx(jnp.asarray(R))
+    assert abs(float(r)) < 1e-5 and abs(float(p)) < 1e-5
+    assert abs(float(y) - 0.3) < 0.02
+
+
+def test_batch_push_ignores_padding():
+    st = fusion.init_state(CFG)
+    stamps = np.array([-np.inf, -np.inf, 0.1, 0.2], np.float32)
+    quats = np.tile(quat_yaw(0.0), (4, 1))
+    st = fusion.push_imu_batch(st, stamps, quats)
+    assert int(jnp.sum(st.imu.valid)) == 2
