@@ -305,6 +305,37 @@ def step(
     return new_state, out
 
 
+def init_with_gt_map(
+    cfg: LocusConfig,
+    map_xyz,
+    map_normals=None,
+    initial_pose: Optional[jnp.ndarray] = None,
+) -> LocusState:
+    """Ground-truth-map bootstrap (InitWithGTPointCloud, Locus.cc:745-758):
+    pre-fill the map store from a prior map (e.g. a PCD via io.pcd) and
+    run as pure localization — pair with cfg.b_add_keyframes_enabled=False
+    to exactly match the reference's localization-only mode."""
+    import numpy as np
+
+    from locus_tpu.ops import normals as normals_op
+
+    state = init_state(cfg, initial_pose)
+    xyz = np.asarray(map_xyz, np.float32)[: cfg.mapper.map_capacity]
+    pc = PointCloud.from_points(
+        xyz,
+        capacity=cfg.mapper.map_capacity,
+        normals=None if map_normals is None else np.asarray(map_normals, np.float32)[: cfg.mapper.map_capacity],
+    )
+    if map_normals is None:
+        pc = normals_op.estimate_normals(pc, k=cfg.filtering.normals_k)
+    new_map = state.map._replace(
+        cloud=pc,
+        write_ptr=pc.count().astype(jnp.int32) % cfg.mapper.map_capacity,
+        num_keyframes=jnp.asarray(1, jnp.int32),
+    )
+    return state._replace(map=new_map)
+
+
 def set_open_space(state: LocusState, open_space) -> LocusState:
     """Localizer-space-monitor hook (Locus.cc:316-319, 571-576): switch
     keyframe thresholds between open/closed-space profiles."""

@@ -1,0 +1,167 @@
+"""Auxiliary subsystems: PCD I/O, checkpoint/resume, diagnostics,
+GT-map localization mode."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from locus_tpu import checkpoint, diagnostics, pipeline
+from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+from locus_tpu.io import pcd
+from locus_tpu.io.dataset import make_tunnel_sequence
+from locus_tpu.metrics import ate_rmse
+from locus_tpu.runner import run_sequence
+
+
+def small_cfg(**kw):
+    base = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=4096,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(map_capacity=8192, keyframe_capacity=1024, map_voxel_leaf=0.1),
+    )
+    return base.replace(**kw)
+
+
+# ------------------------------------------------------------------- PCD
+def test_pcd_roundtrip_binary(tmp_path, rng):
+    xyz = rng.normal(size=(50, 3)).astype(np.float32)
+    nrm = rng.normal(size=(50, 3)).astype(np.float32)
+    inten = rng.uniform(size=50).astype(np.float32)
+    p = str(tmp_path / "a.pcd")
+    pcd.write_pcd(p, xyz, normals=nrm, intensity=inten, binary=True)
+    x2, n2 = pcd.read_pcd_xyz_normals(p)
+    np.testing.assert_allclose(x2, xyz, atol=1e-6)
+    np.testing.assert_allclose(n2, nrm, atol=1e-6)
+
+
+def test_pcd_roundtrip_ascii(tmp_path, rng):
+    xyz = rng.normal(size=(20, 3)).astype(np.float32)
+    p = str(tmp_path / "b.pcd")
+    pcd.write_pcd(p, xyz, binary=False)
+    x2, n2 = pcd.read_pcd_xyz_normals(p)
+    np.testing.assert_allclose(x2, xyz, atol=1e-5)
+    assert n2 is None
+
+
+# ------------------------------------------------------------- checkpoint
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = small_cfg()
+    seq = make_tunnel_sequence(num_scans=6, azimuth_steps=256, step=0.3, seed=2)
+    poses_a, _, _ = run_sequence(seq, cfg)
+
+    # run 3 scans, checkpoint, resume, run remaining 3: same trajectory
+    from locus_tpu.runner import make_replay_step, pack_scan
+    from locus_tpu.io.dataset import sensor_windows_for_scan
+    import jax
+
+    rstep = make_replay_step(cfg)
+
+    def stepper(state, i):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        return rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+
+    state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    for i in range(3):
+        state, out = stepper(state, i)
+
+    ckpt = str(tmp_path / "state.npz")
+    checkpoint.save_state(ckpt, state)
+    template = pipeline.init_state(cfg)
+    restored = checkpoint.load_state(ckpt, template)
+    restored = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), restored)
+
+    for i in range(3, 6):
+        restored, out = stepper(restored, i)
+    np.testing.assert_allclose(np.asarray(out.pose), poses_a[5], atol=1e-4)
+
+
+def test_checkpoint_shape_mismatch(tmp_path):
+    cfg = small_cfg()
+    st = pipeline.init_state(cfg)
+    ckpt = str(tmp_path / "s.npz")
+    checkpoint.save_state(ckpt, st)
+    other = pipeline.init_state(small_cfg(scan_capacity=512))
+    with pytest.raises(ValueError):
+        checkpoint.load_state(ckpt, other)
+
+
+# ------------------------------------------------------------ diagnostics
+def test_diagnostics_from_output():
+    cfg = small_cfg()
+    seq = make_tunnel_sequence(num_scans=4, azimuth_steps=256, seed=3)
+    _, outputs, _ = run_sequence(seq, cfg)
+
+    class FakeOut:
+        scan_to_scan_accepted = True
+        scan_to_map_accepted = True
+        map_size = jnp.asarray(100)
+
+    rec = diagnostics.from_step_output(1.0, FakeOut())
+    assert rec.level() == diagnostics.OK
+    log = diagnostics.DiagnosticsLog(window_s=5.0)
+    log.add(rec)
+    assert log.summary()["count"] == 1
+
+
+def test_stage_timer():
+    t = diagnostics.StageTimer()
+    with t.time("scan_to_scan"):
+        pass
+    s = t.summary()
+    assert "scan_to_scan" in s and s["scan_to_scan"]["count"] == 1
+
+
+# ------------------------------------------------------------ GT map mode
+def test_gt_map_localization_mode():
+    """Bootstrap the map from 'ground truth' (a prior run's world points)
+    and localize against it without keyframing (Locus.cc:745-758)."""
+    cfg = small_cfg(b_add_keyframes_enabled=False)
+    seq = make_tunnel_sequence(num_scans=8, azimuth_steps=256, step=0.3, seed=4)
+
+    # Build a GT map by raycasting densely from several gt poses
+    from locus_tpu.io import synthetic
+    world = synthetic.BoxWorld.default_tunnel(length=8 * 0.3 + 30.0)
+    gt_pts = []
+    for i in range(0, 8, 2):
+        pts, valid = synthetic.simulate_scan(world, seq.gt_poses[i], azimuth_steps=256, noise=0.0, seed=99)
+        w = (seq.gt_poses[i, :3, :3] @ pts[valid].T).T + seq.gt_poses[i, :3, 3]
+        gt_pts.append(w)
+    gt_map = np.concatenate(gt_pts)[:8000]
+
+    state0 = pipeline.init_with_gt_map(
+        cfg, gt_map, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+    )
+    assert int(state0.map.num_keyframes) == 1
+    assert int(state0.map.cloud.count()) > 1000
+
+    import jax
+    from locus_tpu.runner import make_replay_step, pack_scan
+    from locus_tpu.io.dataset import sensor_windows_for_scan
+
+    rstep = make_replay_step(cfg)
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0)
+    poses = []
+    for i in range(8):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        state, out = rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        poses.append(np.asarray(out.pose))
+    poses = np.stack(poses)
+    assert int(state.map.num_keyframes) == 1  # no keyframes added
+    ate = ate_rmse(poses[:, :3, 3], seq.gt_poses[:8, :3, 3], align=False)
+    assert ate < 0.15, ate
