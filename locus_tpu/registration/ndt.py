@@ -1,0 +1,193 @@
+"""Normal Distributions Transform registration (TPU-native).
+
+Capability-parity re-design of the reference's pclomp NDT
+(multithreaded_gicp/include/multithreaded_ndt/ndt_omp_impl.hpp +
+voxel_grid_covariance_omp_impl.hpp):
+
+  reference (CPU)                          this module (TPU)
+  -------------------------------------    --------------------------------
+  VoxelGridCovariance leaves: per-voxel    segment-sum voxel statistics
+  mean/cov/icov, eigenvalue flooring       (sorted-key segments), ridge
+  (voxel_grid_covariance_omp_impl:275-361) regularization to lambda_max/100
+  per-point voxel neighborhood lookup      MXU 1-NN against voxel centers
+  (KDTREE/DIRECT26/DIRECT7/DIRECT1,        (nearest Gaussian component),
+  ndt_omp.h:51)                            gated by 1.5x resolution
+  Newton + More-Thuente line search        iteratively-reweighted GN: the
+  on the NDT score                         Gaussian score weight w_i =
+  (ndt_omp_impl:253-341, 888-1060)         exp(-0.5 gauss_d2 r^T Sigma^-1 r)
+                                           reweights a batched Mahalanobis
+                                           GN step (no line search needed —
+                                           the weight caps step influence)
+
+The per-voxel Gaussian model and the gated score are the same; the
+optimizer is reshaped for batched hardware (IRLS-GN instead of scalar
+Newton/line-search). Convergence uses the same epsilon-scaled
+elementwise transform-delta test as GICP.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from locus_tpu.config import RegistrationConfig
+from locus_tpu.core.cloud import PointCloud, PAD_COORD
+from locus_tpu.geometry import se3
+from locus_tpu.ops import neighbors
+from locus_tpu.registration.gicp import GICPResult, inv3x3, _gauss_newton_step, _scaled_delta
+from locus_tpu.registration.registry import register_method
+
+
+class NDTTargets(NamedTuple):
+    means: jnp.ndarray      # (V,3) voxel means (PAD_COORD when invalid)
+    icovs: jnp.ndarray      # (V,3,3) inverse covariances
+    valid: jnp.ndarray      # (V,) bool — occupied with >= min_points
+
+
+def build_ndt_targets(
+    target: PointCloud,
+    resolution: float,
+    min_points_per_voxel: int = 6,
+) -> NDTTargets:
+    """Per-voxel Gaussian statistics (VoxelGridCovariance equivalent)."""
+    n = target.capacity
+    from locus_tpu.ops.voxel import voxel_keys
+
+    ijk = voxel_keys(target.xyz, target.mask, resolution)
+    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    ijk_s = ijk[order]
+    xyz_s = jnp.where(target.mask[order][:, None], target.xyz[order], 0.0)
+    mask_s = target.mask[order]
+
+    is_new = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=0), axis=1)
+    is_new = is_new.at[0].set(True)
+    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+
+    w = mask_s.astype(jnp.float32)
+    counts = jax.ops.segment_sum(w, seg, num_segments=n)
+    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=n)
+    outer = jnp.einsum("ni,nj->nij", xyz_s, xyz_s) * w[:, None, None]
+    sq_sums = jax.ops.segment_sum(outer, seg, num_segments=n)
+
+    denom = jnp.maximum(counts, 1.0)
+    mu = sums / denom[:, None]
+    cov = sq_sums / denom[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+
+    # Eigenvalue flooring (reference floors small eigenvalues to
+    # lambda_max/100); ridge regularization achieves the same bound on
+    # conditioning in closed form.
+    tr = cov[:, 0, 0] + cov[:, 1, 1] + cov[:, 2, 2]
+    lam_max_ub = tr  # trace upper-bounds lambda_max
+    ridge = jnp.maximum(lam_max_ub / 100.0, 1e-6)
+    cov_reg = cov + ridge[:, None, None] * jnp.eye(3, dtype=cov.dtype)
+    icov = inv3x3(cov_reg, ridge=0.0)
+
+    valid = counts >= float(min_points_per_voxel)
+    means = jnp.where(valid[:, None], mu, PAD_COORD)
+    return NDTTargets(means=means, icovs=icov, valid=valid)
+
+
+def ndt_register(
+    source: PointCloud,
+    target: PointCloud,
+    guess: Optional[jnp.ndarray] = None,
+    cfg: RegistrationConfig = RegistrationConfig(),
+    outlier_ratio: float = 0.55,
+    **_unused,
+) -> GICPResult:
+    """Align source to target with the NDT Gaussian-voxel objective."""
+    if guess is None:
+        guess = se3.identity()
+    res = cfg.ndt_resolution
+    targets = build_ndt_targets(target, res)
+
+    # gauss_d1/d2 from the reference's outlier-ratio mixture
+    # (ndt_omp_impl computeTransformation init).
+    gauss_c1 = 10.0 * (1.0 - outlier_ratio)
+    gauss_c2 = outlier_ratio / (res ** 3)
+    gauss_d3 = -jnp.log(gauss_c2)
+    gauss_d1 = -jnp.log(gauss_c1 + gauss_c2) - gauss_d3
+    gauss_d2 = -2.0 * jnp.log(
+        (-jnp.log(gauss_c1 * jnp.exp(-0.5) + gauss_c2) - gauss_d3) / gauss_d1
+    )
+
+    src0 = se3.transform_points(guess, source.xyz)
+    src0 = jnp.where(source.mask[:, None], src0, source.xyz)
+    gate2 = (1.5 * res) ** 2
+
+    def outer_cond(carry):
+        T, it, delta, _, _ = carry
+        return (it < cfg.iterations) & (delta >= 1.0)
+
+    # Soft assignment over the K nearest Gaussian components — the
+    # DIRECT7-neighborhood analog; hard 1-NN matching leaves a voxel-
+    # quantization bias that neighborhood averaging cancels.
+    K = 4
+    n_src = source.capacity
+
+    def outer_body(carry):
+        T, it, _, _, _ = carry
+        p = se3.transform_points(T, src0)
+        d2, j = neighbors.knn(p, targets.means, k=K)     # (N,K)
+        jf = j.reshape(-1)
+        pf = jnp.repeat(p, K, axis=0)                     # (N*K,3)
+        maskf = jnp.repeat(source.mask, K)
+        w_gate = (
+            maskf & targets.valid[jf] & (d2.reshape(-1) <= gate2)
+        ).astype(jnp.float32)
+
+        mu = targets.means[jf]
+        icov = targets.icovs[jf]
+        r = pf - mu
+        maha = jnp.einsum("ni,nij,nj->n", r, icov, r)
+        w_score = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(maha, 50.0))
+        w = w_gate * w_score
+
+        src0f = jnp.repeat(src0, K, axis=0)
+
+        def inner_body(_, T_in):
+            p_cur = se3.transform_points(T_in, src0f)
+            p_cur = jnp.where(maskf[:, None], p_cur, mu)
+            dx = _gauss_newton_step(p_cur, mu, icov, w, cfg.levenberg_lambda)
+            return se3.compose(se3.se3_exp(dx), T_in)
+
+        T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
+        T_new = se3.make_transform(
+            se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
+        )
+        delta = _scaled_delta(T, T_new, cfg)
+        gate_1nn = (source.mask & (d2[:, 0] <= gate2)).astype(jnp.float32)
+        nw = jnp.maximum(jnp.sum(gate_1nn), 1.0)
+        fitness = jnp.sum(d2[:, 0] * gate_1nn) / nw
+        return (T_new, it + 1, delta, fitness, jnp.sum(gate_1nn).astype(jnp.int32))
+
+    init = (
+        se3.identity(),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(jnp.inf, jnp.float32),
+        jnp.asarray(0, jnp.int32),
+    )
+    T_fin, iters, delta, fitness, ncorr = lax.while_loop(outer_cond, outer_body, init)
+
+    final = se3.compose(T_fin, guess)
+    p_fin = se3.transform_points(final, source.xyz)
+    d2_fin, j_fin = neighbors.nearest(
+        jnp.where(source.mask[:, None], p_fin, source.xyz), target.xyz
+    )
+    corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= cfg.corr_dist ** 2)
+
+    return GICPResult(
+        transform=final,
+        converged=delta < 1.0,
+        iterations=iters,
+        fitness=fitness,
+        correspondences=j_fin,
+        corr_mask=corr_mask,
+        num_correspondences=ncorr,
+    )
+
+
+register_method("ndt")(ndt_register)
