@@ -73,21 +73,23 @@ def main():
     # compile + warm caches
     st = fresh_state()
     st, (poses, _, _) = replay(st, packed_warm)
-    jax.block_until_ready(poses)
+    np.asarray(poses)  # force completion (device->host fetch; some remote
+    # PJRT backends return early from block_until_ready on proxy buffers)
 
     # timed run over the full sequence from a fresh state
     best = 0.0
     for _ in range(3):
         st = fresh_state()
+        np.asarray(st.previous_stamp)  # fence: state upload complete
         t0 = time.perf_counter()
         st, (poses, cond, msz) = replay(st, packed_full)
-        jax.block_until_ready(poses)
+        poses = np.asarray(poses)  # fence: full execution + fetch
         dt = time.perf_counter() - t0
         best = max(best, num_scans / dt)
 
     # sanity: trajectory must track (guard against benchmarking a broken run)
     gt = seq.gt_poses[:num_scans, :3, 3]
-    est = np.asarray(poses)[:, :3, 3]
+    est = poses[:, :3, 3]
     ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
 
     result = {
