@@ -1,0 +1,154 @@
+"""Distribution tests on the 8-virtual-device CPU mesh: sharded map kNN
+collectives, pose-graph optimization (single + sharded), batched
+multi-sequence replay, and the determinism-across-sharding contract."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from locus_tpu.geometry import se3
+from locus_tpu.ops import neighbors
+from locus_tpu.parallel import mesh as mesh_lib
+from locus_tpu.parallel import posegraph as pg
+from locus_tpu.parallel.sharded_map import sharded_knn, sharded_nearest
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return mesh_lib.make_mesh(8, map_parallel=4)
+
+
+def test_sharded_knn_matches_local(mesh8, rng):
+    q = rng.normal(size=(64, 3)).astype(np.float32) * 5
+    m = rng.normal(size=(1024, 3)).astype(np.float32) * 5
+    d2_ref, idx_ref = neighbors.knn(jnp.asarray(q), jnp.asarray(m), k=8)
+    d2_s, idx_s = sharded_knn(mesh8, jnp.asarray(q), jnp.asarray(m), k=8)
+    np.testing.assert_allclose(np.asarray(d2_s), np.asarray(d2_ref), rtol=1e-4, atol=1e-4)
+    assert np.mean(np.asarray(idx_s) == np.asarray(idx_ref)) > 0.99
+
+
+def test_sharded_nearest(mesh8, rng):
+    q = rng.normal(size=(32, 3)).astype(np.float32)
+    m = rng.normal(size=(512, 3)).astype(np.float32)
+    d2, idx = sharded_nearest(mesh8, jnp.asarray(q), jnp.asarray(m))
+    ref = np.linalg.norm(q[:, None] - m[None], axis=-1) ** 2
+    np.testing.assert_array_equal(np.asarray(idx), np.argmin(ref, axis=1))
+
+
+# ----------------------------------------------------------------- posegraph
+def chain_graph(n=12, drift=0.05, seed=0, loop_closure=True):
+    """Ground-truth circle-ish chain; odometry factors with drifted
+    estimates + one loop closure."""
+    rng = np.random.default_rng(seed)
+    gt = np.zeros((n, 4, 4), np.float32)
+    T = np.eye(4, dtype=np.float32)
+    gt[0] = T
+    deltas = []
+    for i in range(1, n):
+        d = np.asarray(
+            se3.make_transform(
+                np.asarray(se3.so3_exp(jnp.asarray([0, 0, 2 * np.pi / n], dtype=jnp.float32))),
+                jnp.asarray([1.0, 0.0, 0.0]),
+            )
+        )
+        deltas.append(d)
+        T = T @ d
+        gt[i] = T
+
+    # noisy initial estimates: accumulate drifted deltas
+    est = np.zeros_like(gt)
+    est[0] = gt[0]
+    T = gt[0].copy()
+    for i in range(1, n):
+        noise = np.asarray(
+            se3.se3_exp(jnp.asarray(rng.normal(scale=drift, size=6), dtype=jnp.float32))
+        )
+        T = T @ deltas[i - 1] @ noise
+        est[i] = T
+
+    fi = list(range(n - 1))
+    fj = list(range(1, n))
+    fT = [deltas[i] for i in range(n - 1)]
+    if loop_closure:
+        fi.append(n - 1)
+        fj.append(0)
+        # gt closure measurement
+        fT.append(np.linalg.inv(gt[n - 1]) @ gt[0])
+    return gt, est, np.asarray(fi), np.asarray(fj), np.stack(fT)
+
+
+def test_posegraph_reduces_error():
+    gt, est, fi, fj, fT = chain_graph(n=12, drift=0.04)
+    g = pg.make_graph(est, fi, fj, fT)
+    c0 = float(pg.graph_cost(g))
+    g2 = pg.optimize(g, iterations=10, cg_iterations=30)
+    c1 = float(pg.graph_cost(g2))
+    assert c1 < c0 * 0.05, (c0, c1)
+    # positions close to gt (gauge anchored at node 0)
+    err = np.linalg.norm(np.asarray(g2.poses)[:, :3, 3] - gt[:, :3, 3], axis=1)
+    assert err.max() < 0.15, err.max()
+
+
+def test_posegraph_sharded_matches(mesh8):
+    gt, est, fi, fj, fT = chain_graph(n=16, drift=0.03)
+    # pad factors to a multiple of 4 shards with masked entries
+    F = len(fi)
+    pad = (-F) % 4
+    fi = np.concatenate([fi, np.zeros(pad, np.int64)])
+    fj = np.concatenate([fj, np.zeros(pad, np.int64)])
+    fT = np.concatenate([fT, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+    mask = np.concatenate([np.ones(F, bool), np.zeros(pad, bool)])
+
+    g = pg.make_graph(est, fi, fj, fT, factor_mask=mask)
+    ref = pg.optimize(g, iterations=8, cg_iterations=30)
+    shd = pg.optimize_sharded(mesh8, g, iterations=8, cg_iterations=30, axis="map")
+    np.testing.assert_allclose(
+        np.asarray(shd.poses), np.asarray(ref.poses), atol=5e-3
+    )
+
+
+def test_batched_multisequence_replay(mesh8):
+    """DP axis: 2 sequences replayed concurrently, results identical to
+    individual replays (determinism across the data-parallel layout)."""
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.runner import (
+        make_batched_replay,
+        make_scan_replay,
+        pack_sequence,
+        stack_packed,
+    )
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(map_capacity=2048, keyframe_capacity=256, map_voxel_leaf=0.1),
+    )
+    seqs = [
+        make_tunnel_sequence(num_scans=3, azimuth_steps=64, seed=s) for s in (0, 1)
+    ]
+    packed = [pack_sequence(s, cfg) for s in seqs]
+
+    # individual replays
+    single = make_scan_replay(cfg)
+    poses_ref = []
+    for s, p in zip(seqs, packed):
+        st = pipeline.init_state(cfg, initial_pose=jnp.asarray(s.gt_poses[0], jnp.float32))
+        st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+        _, (poses, _, _) = single(st, dict(p))
+        poses_ref.append(np.asarray(poses))
+
+    # batched replay
+    states = []
+    for s in seqs:
+        st = pipeline.init_state(cfg, initial_pose=jnp.asarray(s.gt_poses[0], jnp.float32))
+        states.append(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    breplay = make_batched_replay(cfg)
+    _, (poses_b, _, _) = breplay(batched, stack_packed(packed))
+    poses_b = np.asarray(poses_b)  # (T, B, 4, 4)
+    for b in range(2):
+        np.testing.assert_allclose(poses_b[:, b], poses_ref[b], atol=1e-4)
