@@ -190,16 +190,61 @@ def is_imu_healthy(state: FusionState, now, cfg: FusionConfig):
     return (now - state.imu.last_reception) < cfg.sensor_health_timeout
 
 
+def odom_pose_at(buf: OdomBuffer, t) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Time-interpolated odometry pose at t (the tf2 lookupTransform
+    equivalent used by IntegrateInterpolatedOdom, Locus.cc:949-1015):
+    slerp rotation / lerp translation between the bracketing samples.
+    Returns (pose (4,4), ok)."""
+    stamps = jnp.where(buf.valid, buf.stamps, -jnp.inf)
+    # last sample <= t
+    before = jnp.where(stamps <= t, stamps, -jnp.inf)
+    i0 = jnp.argmax(before)
+    # first sample >= t
+    after = jnp.where(stamps >= t, stamps, jnp.inf)
+    i1 = jnp.argmin(after)
+    # extrapolation fallback: clamp to the nearest available sample
+    have_any = jnp.any(buf.valid)
+    i0 = jnp.where(jnp.isfinite(before[i0]), i0, i1)
+    i1 = jnp.where(jnp.isfinite(after[i1]), i1, i0)
+    t0, t1 = stamps[i0], stamps[i1]
+    alpha = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
+    alpha = jnp.clip(alpha, 0.0, 1.0)
+    P0, P1 = buf.poses[i0], buf.poses[i1]
+    q0 = se3.matrix_to_quat(se3.rotation(P0))
+    q1 = se3.matrix_to_quat(se3.rotation(P1))
+    q = se3.quat_slerp(q0, q1, alpha)
+    trans = (1.0 - alpha) * se3.translation(P0) + alpha * se3.translation(P1)
+    return se3.make_transform(se3.quat_to_matrix(q), trans), have_any
+
+
+def integrate_interpolated_odom(
+    state: FusionState, prev_stamp, stamp
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Delta of the interpolated odometry stream between the previous and
+    current scan stamps (IntegrateInterpolatedOdom): identity when the
+    transform is unavailable (pure-LO fallback, Locus.cc:1000-1009).
+    Returns (delta (4,4), ok)."""
+    P_prev, ok0 = odom_pose_at(state.odom, prev_stamp)
+    P_cur, ok1 = odom_pose_at(state.odom, stamp)
+    ok = ok0 & ok1 & (prev_stamp >= 0)
+    delta = se3.pose_delta(P_prev, P_cur)
+    return jnp.where(ok, delta, se3.identity()), ok
+
+
 # ---------------------------------------------------------------------------
 # Prior integration (the cascade)
 # ---------------------------------------------------------------------------
 
 def integrate_sensors(
-    state: FusionState, stamp, now, cfg: FusionConfig
+    state: FusionState, stamp, now, cfg: FusionConfig, prev_stamp=None
 ) -> PriorSelection:
     """IntegrateSensors (Locus.cc:904-924): choose odom if healthy and
     mode>=3, else IMU if healthy and mode>=1 (yaw-only for mode 2), else
     pure lidar-only with identity prior.
+
+    With cfg.b_integrate_interpolated_odom (the spot profile) the odom
+    delta comes from time interpolation between scan stamps instead of
+    nearest-sample differencing (requires prev_stamp).
 
     Branch-free: all three candidate priors are computed and selected by
     predicate, so the whole cascade compiles into the jitted step.
@@ -211,7 +256,13 @@ def integrate_sensors(
         state.odom.stamps, state.odom.valid, stamp, cfg.max_buffer_staleness
     )
     odom_pose = state.odom.poses[oi]
-    odom_delta = se3.pose_delta(state.odom_pose_prev, odom_pose)
+    if cfg.b_integrate_interpolated_odom and prev_stamp is not None:
+        odom_delta, interp_ok = integrate_interpolated_odom(
+            state, prev_stamp, stamp
+        )
+        o_found = o_found & interp_ok
+    else:
+        odom_delta = se3.pose_delta(state.odom_pose_prev, odom_pose)
     odom_usable = o_found & state.odom_received
 
     # -- imu delta ---------------------------------------------------------

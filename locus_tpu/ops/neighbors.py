@@ -100,7 +100,17 @@ def knn(
 def nearest(
     query: jnp.ndarray, target: jnp.ndarray, chunk: int = 4096
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """1-NN: (N,) squared distance and (N,) index."""
+    """1-NN: (N,) squared distance and (N,) index.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/pallas/nn.py), which keeps the distance tiles in VMEM — the
+    XLA path materializes the full (N, M) matrix in HBM and is traffic-
+    bound at production shapes. CPU (tests) uses the XLA path.
+    """
+    if jax.default_backend() != "cpu" and query.shape[0] >= 128:
+        from locus_tpu.ops.pallas.nn import nearest_pallas
+
+        return nearest_pallas(query, target)
     if target.shape[0] <= chunk:
         d2 = pairwise_sqdist(query, target)
         idx = jnp.argmin(d2, axis=1).astype(jnp.int32)

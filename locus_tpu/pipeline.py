@@ -180,7 +180,9 @@ def step(
         next_leaf = state.voxel_leaf
 
     # -- prior selection (IntegrateSensors) --------------------------------
-    sel = fusion.integrate_sensors(state.fuse, stamp, stamp, cfg.fusion)
+    sel = fusion.integrate_sensors(
+        state.fuse, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
+    )
 
     # -- scan-to-scan ------------------------------------------------------
     odo = odometry.update(
