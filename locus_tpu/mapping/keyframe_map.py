@@ -111,3 +111,19 @@ def approx_nearest_neighbors(
 
 def map_size(state: MapState) -> jnp.ndarray:
     return state.cloud.count()
+
+
+def snapshot_to_pcd(state: MapState, path: str) -> int:
+    """Write the current map to a PCD file (the reference's map snapshot
+    via pointcloud_to_pcd on locus/octree_map, tmuxp run_locus.yaml:93).
+    Returns the number of points written."""
+    import numpy as np
+
+    from locus_tpu.io import pcd
+
+    mask = np.asarray(state.cloud.mask)
+    xyz = np.asarray(state.cloud.xyz)[mask]
+    normals = np.asarray(state.cloud.normals)[mask]
+    intensity = np.asarray(state.cloud.intensity)[mask]
+    pcd.write_pcd(path, xyz, normals=normals, intensity=intensity)
+    return int(mask.sum())
