@@ -1,0 +1,142 @@
+"""Host-side pose-graph backend loop.
+
+The reference integrates with an external SLAM backend (LAMP) purely
+through `SetIntegratedEstimate` (PointCloudLocalization.h:114-117): the
+backend watches keyframes, optimizes a pose graph, and overwrites the
+front-end pose after loop closure. This module provides that backend
+natively on top of parallel/posegraph.py:
+
+- collects keyframe poses + sequential odometry factors during replay
+- detects loop-closure candidates by revisit distance (keyframes that
+  are spatially near but temporally far) and verifies them with a GICP
+  alignment of the stored keyframe clouds
+- optimizes the graph (GN + PCG; optionally factor-sharded over a mesh)
+- returns the corrected pose to push back via set_integrated_estimate
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from locus_tpu.config import RegistrationConfig
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.geometry import se3
+from locus_tpu.parallel import posegraph as pg
+from locus_tpu.registration.gicp import gicp_register
+
+
+@dataclass
+class Keyframe:
+    index: int
+    stamp: float
+    pose: np.ndarray                  # (4,4) front-end pose at insertion
+    cloud: Optional[PointCloud] = None  # downsampled scan (sensor frame)
+
+
+@dataclass
+class PoseGraphBackend:
+    loop_distance: float = 3.0        # spatial gate for candidates [m]
+    min_index_gap: int = 10           # temporal gate (keyframes)
+    loop_fitness_max: float = 0.05    # GICP fitness acceptance
+    registration: RegistrationConfig = field(
+        default_factory=lambda: RegistrationConfig(corr_dist=0.5, iterations=30)
+    )
+
+    keyframes: List[Keyframe] = field(default_factory=list)
+    factors: List[tuple] = field(default_factory=list)  # (i, j, T_ij (4,4), info_scale)
+    loops_found: int = 0
+
+    # -- event ingestion ----------------------------------------------------
+    def add_keyframe(self, stamp: float, pose: np.ndarray, cloud: Optional[PointCloud] = None):
+        pose = np.asarray(pose, np.float64)
+        k = len(self.keyframes)
+        self.keyframes.append(Keyframe(k, float(stamp), pose, cloud))
+        if k > 0:
+            prev = self.keyframes[k - 1]
+            T_ij = np.linalg.inv(prev.pose) @ pose
+            self.factors.append((k - 1, k, T_ij, 1.0))
+        return k
+
+    # -- loop closure -------------------------------------------------------
+    def find_loop_candidates(self) -> List[tuple]:
+        """(i, j) pairs: near in space, far in sequence."""
+        out = []
+        if len(self.keyframes) < self.min_index_gap + 1:
+            return out
+        cur = self.keyframes[-1]
+        for kf in self.keyframes[: -self.min_index_gap]:
+            d = np.linalg.norm(kf.pose[:3, 3] - cur.pose[:3, 3])
+            if d < self.loop_distance:
+                out.append((kf.index, cur.index))
+        return out
+
+    def verify_loop(self, i: int, j: int):
+        """GICP-align keyframe j's cloud to keyframe i's cloud; accept on
+        convergence + fitness. Returns T_ij or None."""
+        a, b = self.keyframes[i], self.keyframes[j]
+        if a.cloud is None or b.cloud is None:
+            return None
+        guess = jnp.asarray(
+            (np.linalg.inv(a.pose) @ b.pose).astype(np.float32)
+        )
+        res = gicp_register(b.cloud, a.cloud, guess=guess, cfg=self.registration)
+        if not bool(res.converged) or float(res.fitness) > self.loop_fitness_max:
+            return None
+        return np.asarray(res.transform, np.float64)
+
+    def try_close_loops(self) -> int:
+        added = 0
+        for i, j in self.find_loop_candidates():
+            if any(fi == i and fj == j for fi, fj, _, _ in self.factors):
+                continue
+            T = self.verify_loop(i, j)
+            if T is not None:
+                self.factors.append((i, j, T, 4.0))  # loop factors weighted up
+                self.loops_found += 1
+                added += 1
+        return added
+
+    # -- optimization -------------------------------------------------------
+    def optimize(self, iterations: int = 10, mesh=None) -> np.ndarray:
+        """Optimize all keyframe poses; returns (K,4,4) corrected poses
+        (and updates stored keyframes)."""
+        K = len(self.keyframes)
+        if K < 2 or not self.factors:
+            return np.stack([k.pose for k in self.keyframes]) if K else np.zeros((0, 4, 4))
+        poses = np.stack([k.pose for k in self.keyframes]).astype(np.float32)
+        fi = np.asarray([f[0] for f in self.factors], np.int32)
+        fj = np.asarray([f[1] for f in self.factors], np.int32)
+        fT = np.stack([f[2] for f in self.factors]).astype(np.float32)
+        info = np.stack(
+            [np.eye(6, dtype=np.float32) * f[3] for f in self.factors]
+        )
+        g = pg.make_graph(poses, fi, fj, fT, factor_info=info, anchor=0)
+        if mesh is not None:
+            shards = mesh.shape.get("map", 1)
+            F = fi.shape[0]
+            pad = (-F) % shards
+            if pad:
+                g = pg.make_graph(
+                    poses,
+                    np.concatenate([fi, np.zeros(pad, np.int32)]),
+                    np.concatenate([fj, np.zeros(pad, np.int32)]),
+                    np.concatenate([fT, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))]),
+                    factor_info=np.concatenate([info, np.tile(np.eye(6, dtype=np.float32), (pad, 1, 1))]),
+                    factor_mask=np.concatenate([np.ones(F, bool), np.zeros(pad, bool)]),
+                    anchor=0,
+                )
+            g = pg.optimize_sharded(mesh, g, iterations=iterations)
+        else:
+            g = pg.optimize(g, iterations=iterations)
+        out = np.asarray(g.poses, np.float64)
+        for k, kf in enumerate(self.keyframes):
+            kf.pose = out[k]
+        return out
+
+    def correction_for_latest(self) -> np.ndarray:
+        """The pose to push back into the front end
+        (set_integrated_estimate) after optimize()."""
+        return self.keyframes[-1].pose

@@ -1,0 +1,102 @@
+"""Pose-graph backend loop: keyframe collection, loop-closure detection
+and verification, optimization, front-end correction."""
+import numpy as np
+import jax.numpy as jnp
+
+from locus_tpu.backend import PoseGraphBackend
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.geometry import se3
+from locus_tpu.io import synthetic
+
+
+def square_trajectory(n_per_side=5, side=4.0):
+    """A square loop returning to the start."""
+    poses = []
+    T = np.eye(4)
+    step = side / n_per_side
+    for leg in range(4):
+        for _ in range(n_per_side):
+            poses.append(T.copy())
+            d = np.eye(4)
+            d[0, 3] = step
+            T = T @ d
+        yaw = np.asarray(
+            se3.make_transform(se3.so3_exp(jnp.asarray([0, 0, np.pi / 2], dtype=jnp.float32)), jnp.zeros(3))
+        )
+        T = T @ yaw
+    return np.stack(poses)
+
+
+def test_keyframes_and_sequential_factors():
+    b = PoseGraphBackend()
+    gt = square_trajectory()
+    for i, p in enumerate(gt[:5]):
+        b.add_keyframe(i * 0.1, p)
+    assert len(b.keyframes) == 5
+    assert len(b.factors) == 4
+    i, j, T, w = b.factors[0]
+    np.testing.assert_allclose(T, np.linalg.inv(gt[0]) @ gt[1], atol=1e-9)
+
+
+def test_loop_candidates_spatial_temporal_gates():
+    b = PoseGraphBackend(loop_distance=1.0, min_index_gap=10)
+    gt = square_trajectory()  # 20 poses, end near start
+    for i, p in enumerate(gt):
+        b.add_keyframe(i * 0.1, p)
+    # last keyframe is the one before closing the square: distance to
+    # kf0 is `step`; candidates must include (0, last)
+    cands = b.find_loop_candidates()
+    assert any(i == 0 for i, _ in cands)
+    # no temporally-near candidates
+    assert all(j - i >= 10 for i, j in cands)
+
+
+def test_loop_verification_and_optimization():
+    """Drifted square loop: loop closure verified by GICP on the cube
+    fixture pulls the trajectory back toward ground truth."""
+    rng = np.random.default_rng(0)
+    gt = square_trajectory()
+    n = gt.shape[0]
+    # jitter breaks the lattice-aliasing local minima a perfectly regular
+    # grid creates for ICP (real scans are never lattice-regular)
+    xyz, nrm = synthetic.hollow_cube(step=0.1, side=2.0, jitter=0.02, seed=7)
+    # per-keyframe 'scan': the world cube seen from the pose
+    def scan_at(pose):
+        Rw = pose[:3, :3]
+        tw = pose[:3, 3]
+        pts = (xyz - tw) @ Rw  # world -> sensor
+        nr = nrm @ Rw
+        return PointCloud.from_points(
+            pts.astype(np.float32), capacity=1024, normals=nr.astype(np.float32)
+        )
+
+    # drift: grow error along the trajectory
+    drift = np.linspace(0, 0.25, n)
+    est = gt.copy()
+    est[:, 0, 3] += drift
+    est[:, 1, 3] += drift * 0.5
+
+    b = PoseGraphBackend(loop_distance=1.5, min_index_gap=10)
+    for i in range(n):
+        b.add_keyframe(i * 0.1, est[i], cloud=scan_at(gt[i]))
+    added = b.try_close_loops()
+    assert added >= 1, "no loop closures found"
+
+    b.optimize(iterations=10)
+    err_before = np.linalg.norm(est[-1, :3, 3] - gt[-1, :3, 3])
+    err_after = np.linalg.norm(b.keyframes[-1].pose[:3, 3] - gt[-1, :3, 3])
+    assert err_after < err_before * 0.5, (err_before, err_after)
+
+
+def test_correction_feeds_front_end():
+    from locus_tpu import localization as loc
+
+    b = PoseGraphBackend()
+    gt = square_trajectory()
+    for i, p in enumerate(gt[:12]):
+        b.add_keyframe(i * 0.1, p)
+    b.optimize(iterations=2)
+    corrected = b.correction_for_latest()
+    st = loc.init_state()
+    st = loc.set_integrated_estimate(st, jnp.asarray(corrected, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(st.integrated), corrected, atol=1e-6)
