@@ -125,7 +125,22 @@ def preprocess(
     pc = raw
     if f.body_filter:
         pc = filters.crop_box(pc, f.box_min, f.box_max, negative=True)
-    pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
+    if f.extract_features:
+        # LOAM feature path (PointCloudFilter extract_features): keep only
+        # edge+planar feature points instead of the voxel-grid cloud.
+        from locus_tpu.ops import features as feat
+
+        fg = feat.extract_features(pc)
+        edge, planar = feat.feature_clouds(
+            fg,
+            edge_capacity=cfg.scan_capacity // 4,
+            planar_capacity=cfg.scan_capacity - cfg.scan_capacity // 4,
+        )
+        from locus_tpu.core import cloud as cloud_lib
+
+        pc = cloud_lib.concatenate([edge, planar], capacity=cfg.scan_capacity)
+    else:
+        pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
     if f.random_filter and key is not None:
         pc = filters.random_sample(pc, key, f.decimate_percentage)
     if f.outlier_filter:

@@ -164,29 +164,50 @@ def run_sequence(
     state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
 
     n = len(seq) if max_scans is None else min(max_scans, len(seq))
-    poses = np.zeros((n, 4, 4), np.float64)
     outputs = []
     report = RateReport()
 
-    for i in range(n):
+    # Host-side prefetch: pack scan i+1 while the device runs scan i
+    # (the AsyncSpinner analog; SURVEY §7.3 host-side streaming).
+    import threading
+
+    def packed_for(i):
         xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
         (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
-        t0 = time.perf_counter()
-        state, out = rstep(
-            state,
-            jnp.asarray(xyz),
-            jnp.asarray(mask),
+        return (
+            jnp.asarray(xyz), jnp.asarray(mask),
             jnp.asarray(seq.stamps[i], jnp.float32),
-            jnp.asarray(imu_s),
-            jnp.asarray(imu_q),
-            jnp.asarray(odom_s),
-            jnp.asarray(odom_p),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
             jnp.asarray(i, jnp.int32),
         )
-        pose = np.asarray(out.pose)
-        report.add(time.perf_counter() - t0)
-        poses[i] = pose
+
+    next_args = [packed_for(0)]
+
+    def prefetch(i):
+        next_args.append(packed_for(i))
+
+    device_outs = []
+    for i in range(n):
+        args = next_args.pop(0)
+        th = None
+        if i + 1 < n:
+            th = threading.Thread(target=prefetch, args=(i + 1,))
+            th.start()
+        t0 = time.perf_counter()
+        state, out = rstep(state, *args)
         if collect_outputs:
+            np.asarray(out.pose)  # per-scan latency fence
+            report.add(time.perf_counter() - t0)
+        device_outs.append(out)
+        if th is not None:
+            th.join()
+    if not collect_outputs and device_outs:
+        np.asarray(device_outs[-1].pose)
+
+    poses = np.stack([np.asarray(o.pose, dtype=np.float64) for o in device_outs])
+    if collect_outputs:
+        for out in device_outs:
             outputs.append(
                 {
                     "condition_number": float(out.condition_number),
