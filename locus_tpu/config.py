@@ -86,6 +86,7 @@ class FilterConfig:
     radius: float = 0.15
     radius_knn: int = 3
     extract_features: bool = False
+    feature_width: int = 900   # range-image azimuth bins (match sensor resolution)
     # body crop box (BodyFilter nodelet; per-robot defaults from
     # locus/config/body_filter_params_husky.yaml)
     body_filter: bool = True

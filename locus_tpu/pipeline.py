@@ -130,7 +130,7 @@ def preprocess(
         # edge+planar feature points instead of the voxel-grid cloud.
         from locus_tpu.ops import features as feat
 
-        fg = feat.extract_features(pc)
+        fg = feat.extract_features(pc, width=f.feature_width)
         edge, planar = feat.feature_clouds(
             fg,
             edge_capacity=cfg.scan_capacity // 4,

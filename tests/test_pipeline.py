@@ -87,3 +87,26 @@ def test_condition_number_finite(tunnel_seq):
     for o in outputs[1:]:
         assert np.isfinite(o["condition_number"])
         assert o["condition_number"] >= 1.0
+
+
+def test_feature_extraction_path(tunnel_seq):
+    """extract_features preprocessing path (LOAM features instead of the
+    voxel grid) still tracks the trajectory."""
+    import dataclasses
+
+    base = small_cfg()
+    cfg = base.replace(
+        filtering=dataclasses.replace(
+            base.filtering, extract_features=True, feature_width=256
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    poses, outputs, _ = run_sequence(tunnel_seq, cfg, max_scans=8)
+    gt = tunnel_seq.gt_poses[:8]
+    # Feature clouds in a smooth tunnel are planar-dominated: lateral (y)
+    # and vertical (z) are well constrained; the along-tunnel axis needs
+    # point-to-line edge treatment (future work — the reference also
+    # defaults extract_features off). Assert the constrained axes.
+    err_yz = np.abs(poses[:, 1:3, 3] - gt[:, 1:3, 3])
+    assert err_yz.max() < 0.1, err_yz.max()
+    assert outputs[-1]["num_points"] > 300
