@@ -39,6 +39,7 @@ class RegistrationConfig:
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
     recompute_covariances: bool = False  # derive from normals (production path)
+    covariance_mode: str = "normals"   # "normals" | "recompute" | "adaptive"
     gicp_epsilon: float = 0.001        # plane-disk small eigenvalue
     k_correspondences: int = 20        # K for covariance estimation
     # NDT-specific

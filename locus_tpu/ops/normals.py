@@ -65,6 +65,70 @@ def smallest_eigenvector_sym3x3(A: jnp.ndarray):
     return lam3, v
 
 
+def eigh_sym3x3(A: jnp.ndarray):
+    """Full batched symmetric 3x3 eigendecomposition (analytic).
+
+    Returns (eigvals (..,3) ascending, eigvecs (..,3,3) columns matching).
+    Eigenvectors via the column-space of the complementary shifted
+    products; third vector from the cross product for orthogonality.
+    """
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a11, a12, a22 = A[..., 1, 1], A[..., 1, 2], A[..., 2, 2]
+    tr = a00 + a11 + a22
+    q = tr / 3.0
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, _EPS))
+    detB = (
+        b00 * (b11 * b22 - a12 * a12)
+        - a01 * (a01 * b22 - a12 * a02)
+        + a02 * (a01 * a12 - b11 * a02)
+    ) / (p * p * p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_hi = q + 2.0 * p * jnp.cos(phi)
+    lam_lo = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    lam_mid = tr - lam_hi - lam_lo
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+
+    def vec_for(l_other1, l_other2):
+        M = jnp.einsum(
+            "...ij,...jk->...ik",
+            A - l_other1[..., None, None] * eye,
+            A - l_other2[..., None, None] * eye,
+        )
+        norms = jnp.linalg.norm(M, axis=-2)
+        col = jnp.argmax(norms, axis=-1)
+        v = jnp.take_along_axis(
+            M, col[..., None, None].repeat(3, axis=-2), axis=-1
+        )[..., 0]
+        n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], A.dtype), v.shape)
+        return jnp.where(n < 1e-10, fallback, v / jnp.maximum(n, _EPS))
+
+    v_lo = vec_for(lam_hi, lam_mid)
+    v_hi = vec_for(lam_lo, lam_mid)
+    # degenerate guard: if v_hi ~ v_lo (repeated eigenvalues), rebuild an
+    # orthogonal frame
+    parallel = jnp.abs(jnp.sum(v_hi * v_lo, axis=-1)) > 0.9
+    alt = jnp.where(
+        (jnp.abs(v_lo[..., :1]) < 0.9),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], A.dtype), v_lo.shape),
+        jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], A.dtype), v_lo.shape),
+    )
+    v_hi_fix = jnp.cross(v_lo, alt)
+    v_hi_fix = v_hi_fix / jnp.linalg.norm(v_hi_fix, axis=-1, keepdims=True).clip(_EPS)
+    v_hi = jnp.where(parallel[..., None], v_hi_fix, v_hi)
+    v_mid = jnp.cross(v_hi, v_lo)
+    v_mid = v_mid / jnp.linalg.norm(v_mid, axis=-1, keepdims=True).clip(_EPS)
+
+    eigvals = jnp.stack([lam_lo, lam_mid, lam_hi], axis=-1)
+    eigvecs = jnp.stack([v_lo, v_mid, v_hi], axis=-1)  # columns
+    return eigvals, eigvecs
+
+
 def estimate_normals(
     cloud: PointCloud,
     k: int = 20,

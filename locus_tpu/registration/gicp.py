@@ -70,6 +70,36 @@ def covariance_from_normals(normals: jnp.ndarray, epsilon: float) -> jnp.ndarray
     return eye - (1.0 - epsilon) * nnT
 
 
+def covariance_adaptive(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    epsilon: float,
+) -> jnp.ndarray:
+    """Structure-adaptive regularization: eigenvalues of the local PCA
+    covariance are normalized by the largest and floored at eps, so
+    planes become disks (1,1,eps), edges become sticks (1,eps,eps), and
+    corners stay isotropic — the GICP generalization of LOAM's
+    point-to-plane vs point-to-line treatment for feature clouds."""
+    from locus_tpu.ops.normals import eigh_sym3x3
+
+    _, idx = neighbors.knn(xyz, xyz, k=k)
+    nbr = xyz[idx]
+    nbr_mask = mask[idx]
+    w = nbr_mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    nbr_safe = jnp.where(nbr_mask[..., None], nbr, 0.0)
+    mean = jnp.sum(nbr_safe * w[..., None], axis=1) / denom[:, None]
+    centered = jnp.where(nbr_mask[..., None], nbr - mean[:, None, :], 0.0)
+    cov = jnp.einsum("nki,nkj->nij", centered, centered) / denom[:, None, None]
+    eigvals, eigvecs = eigh_sym3x3(cov)
+    lam_max = jnp.maximum(eigvals[:, 2], 1e-12)
+    lam_reg = jnp.clip(eigvals / lam_max[:, None], epsilon, 1.0)
+    return jnp.einsum(
+        "nik,nk,njk->nij", eigvecs, lam_reg, eigvecs
+    )
+
+
 def covariance_from_neighborhood(
     xyz: jnp.ndarray,
     mask: jnp.ndarray,
@@ -180,21 +210,27 @@ def gicp_register(
     if guess is None:
         guess = se3.identity()
 
-    # Covariances (production path: from normals).
+    # Covariances (production path: from normals; "adaptive" builds
+    # plane/line/corner-aware regularization for feature clouds).
+    mode = cfg.covariance_mode
+    if cfg.recompute_covariances and mode == "normals":
+        mode = "recompute"
+
+    def make_cov(cloud):
+        if mode == "recompute":
+            return covariance_from_neighborhood(
+                cloud.xyz, cloud.mask, cfg.k_correspondences, cfg.gicp_epsilon
+            )
+        if mode == "adaptive":
+            return covariance_adaptive(
+                cloud.xyz, cloud.mask, cfg.k_correspondences, cfg.gicp_epsilon
+            )
+        return covariance_from_normals(cloud.normals, cfg.gicp_epsilon)
+
     if source_cov is None:
-        if cfg.recompute_covariances:
-            source_cov = covariance_from_neighborhood(
-                source.xyz, source.mask, cfg.k_correspondences, cfg.gicp_epsilon
-            )
-        else:
-            source_cov = covariance_from_normals(source.normals, cfg.gicp_epsilon)
+        source_cov = make_cov(source)
     if target_cov is None:
-        if cfg.recompute_covariances:
-            target_cov = covariance_from_neighborhood(
-                target.xyz, target.mask, cfg.k_correspondences, cfg.gicp_epsilon
-            )
-        else:
-            target_cov = covariance_from_normals(target.normals, cfg.gicp_epsilon)
+        target_cov = make_cov(target)
 
     src0 = se3.transform_points(guess, source.xyz)   # pre-warped source
     src0 = jnp.where(source.mask[:, None], src0, source.xyz)  # keep sentinels

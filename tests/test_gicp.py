@@ -135,3 +135,38 @@ def test_gated_correspondences():
     np.testing.assert_allclose(
         np.asarray(res.transform), np.eye(4), atol=1e-4
     )
+
+
+def test_eigh_sym3x3_full(rng):
+    from locus_tpu.ops.normals import eigh_sym3x3
+
+    A = rng.normal(size=(50, 3, 3)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1)
+    w, v = eigh_sym3x3(jnp.asarray(A))
+    wr, _ = np.linalg.eigh(A)
+    np.testing.assert_allclose(np.asarray(w), wr, atol=1e-3, rtol=1e-3)
+    rec = np.einsum("nik,nk,njk->nij", np.asarray(v), np.asarray(w), np.asarray(v))
+    np.testing.assert_allclose(rec, A, atol=1e-3, rtol=1e-3)
+
+
+def test_covariance_adaptive_structures(rng):
+    """Plane points -> disk covariance; line points -> stick covariance."""
+    from locus_tpu.registration.gicp import covariance_adaptive
+
+    # plane z=0
+    xy = rng.uniform(-1, 1, size=(100, 2)).astype(np.float32)
+    plane_pts = np.concatenate([xy, np.zeros((100, 1), np.float32)], axis=1)
+    # line along x
+    line_pts = np.stack(
+        [np.linspace(-1, 1, 100).astype(np.float32),
+         np.full(100, 5.0, np.float32), np.zeros(100, np.float32)], axis=1
+    )
+    pts = np.concatenate([plane_pts, line_pts])
+    mask = jnp.ones(200, dtype=bool)
+    C = np.asarray(covariance_adaptive(jnp.asarray(pts), mask, k=10, epsilon=0.01))
+    # plane point: eigenvalues ~ (0.01, ~1, 1)
+    w_plane = np.linalg.eigvalsh(C[10])
+    assert w_plane[0] < 0.05 and w_plane[1] > 0.3
+    # line point: eigenvalues ~ (0.01, 0.01, 1)
+    w_line = np.linalg.eigvalsh(C[150])
+    assert w_line[1] < 0.05 and w_line[2] > 0.9
