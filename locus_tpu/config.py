@@ -93,8 +93,12 @@ class FilterConfig:
     body_filter: bool = True
     box_min: tuple = (-0.6, -0.6, -0.6)
     box_max: tuple = (0.6, 0.6, 0.6)
-    # normal computation (NormalComputation nodelet)
+    # normal computation (NormalComputation nodelet). "radius" uses the
+    # fused moments kernel with radius = normals_radius_scale * leaf
+    # (TPU fast path); "knn" matches pcl's k-search exactly.
     normals_k: int = 20
+    normals_method: str = "radius"     # "radius" | "knn"
+    normals_radius_scale: float = 2.5
 
 
 @dataclass(frozen=True)

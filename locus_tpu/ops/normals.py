@@ -129,6 +129,37 @@ def eigh_sym3x3(A: jnp.ndarray):
     return eigvals, eigvecs
 
 
+def estimate_normals_radius(
+    cloud: PointCloud,
+    radius,
+    viewpoint=(0.0, 0.0, 0.0),
+    min_neighbors: int = 4,
+) -> PointCloud:
+    """Fixed-radius PCA normals via one fused moments pass (TPU: Pallas
+    kernel; CPU: chunked XLA). `radius` may be a traced scalar — the
+    pipeline ties it to the adaptive voxel leaf. Points with fewer than
+    `min_neighbors` in range keep a zero normal (masked out of GICP's
+    covariance weighting naturally)."""
+    from locus_tpu.ops.pallas.moments import (
+        radius_moments_pallas,
+        radius_moments_xla,
+    )
+
+    if jax.default_backend() != "cpu" and cloud.capacity >= 128:
+        count, mean, cov = radius_moments_pallas(cloud.xyz, cloud.xyz, radius)
+    else:
+        count, mean, cov = radius_moments_xla(
+            cloud.xyz, cloud.xyz, cloud.mask, radius
+        )
+    _, normal = smallest_eigenvector_sym3x3(cov)
+    vp = jnp.asarray(viewpoint, dtype=jnp.float32)
+    flip = jnp.sum(normal * (vp - cloud.xyz), axis=-1) < 0.0
+    normal = jnp.where(flip[:, None], -normal, normal)
+    ok = cloud.mask & (count >= float(min_neighbors))
+    normal = jnp.where(ok[:, None], normal, 0.0)
+    return PointCloud(cloud.xyz, normal, cloud.intensity, cloud.mask)
+
+
 def estimate_normals(
     cloud: PointCloud,
     k: int = 20,

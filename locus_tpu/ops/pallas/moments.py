@@ -1,0 +1,183 @@
+"""Pallas fused radius-neighborhood moments.
+
+Normal estimation needs, per point, the mean and covariance of its
+neighborhood. The kNN route (distance matrix + top_k + gather) costs
+multiple HBM passes and a slow top_k. This kernel computes exact
+fixed-radius moments in ONE streaming pass, entirely in VMEM:
+
+    W_ij = [ ||q_i - t_j||^2 <= r^2 ]          (gate, computed on MXU)
+    out_i = sum_j W_ij * feat_j                 (MXU matmul)
+
+with feat_j = [x, y, z, xx, yy, zz, xy, xz, yz, 1]: the count, first
+and second moments of the neighborhood in a single (BQ, BT) x (BT, 16)
+product — the contraction dim is BT=1024, so unlike the NN kernel this
+matmul actually fills the MXU.
+
+PCA covariance then follows as C = M2/n - mu mu^T outside the kernel
+(tiny elementwise work), and the smallest eigenvector gives the normal.
+This replaces pcl::NormalEstimationOMP's per-point kNN+PCA
+(normal_computation.cc) with radius search — which the reference also
+uses (normal_search_radius, point_cloud_localization/config).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BQ = 256
+BT = 1024
+AUG = 8     # [x, y, z, 1, 0, 0, 0, 0] query augmentation
+NF = 16     # feature columns (10 used, lane-padded)
+
+
+def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
+    """q_ref (BQ, AUG); t_ref (AUG, M); f_ref (M, NF); out (BQ, NF)."""
+    m = t_ref.shape[1]
+    num_chunks = m // BT
+    q = q_ref[:]
+    q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)   # (BQ,1)
+    r2 = r2_ref[0]
+
+    def body(c, acc):
+        t_chunk = t_ref[:, pl.ds(c * BT, BT)]                  # (AUG, BT)
+        scores = jnp.dot(
+            q, t_chunk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                       # |t|^2 - 2qt
+        d2 = scores + q2
+        W = (d2 <= r2).astype(jnp.float32)                      # (BQ, BT)
+        feat = f_ref[pl.ds(c * BT, BT), :]                      # (BT, NF)
+        return acc + jnp.dot(
+            W, feat, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    out_ref[:] = jax.lax.fori_loop(
+        0, num_chunks, body, jnp.zeros((BQ, NF), jnp.float32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def radius_moments_pallas(
+    query: jnp.ndarray, target: jnp.ndarray, radius, interpret: bool = False
+):
+    """Exact radius-neighborhood moments.
+
+    Returns (count (N,), mean (N,3), cov (N,3,3)); `radius` may be a
+    traced scalar (runtime-adaptive, tied to the voxel leaf).
+    """
+    n, m = query.shape[0], target.shape[0]
+    n_pad = -(-n // BQ) * BQ
+    m_pad = -(-m // BT) * BT
+
+    q = jnp.zeros((n_pad, AUG), jnp.float32)
+    q = q.at[:n, :3].set(query)
+    q = q.at[:n, 3].set(1.0)
+
+    t = jnp.zeros((AUG, m_pad), jnp.float32)
+    t = t.at[:3, :m].set(-2.0 * target.T)
+    t2 = jnp.sum(target * target, axis=1)
+    t = t.at[3, :m].set(t2)
+    if m_pad > m:
+        t = t.at[3, m:].set(1e12)  # padded targets fail every gate
+
+    x, y, z = target[:, 0], target[:, 1], target[:, 2]
+    feat = jnp.zeros((m_pad, NF), jnp.float32)
+    feat = feat.at[:m, 0].set(x)
+    feat = feat.at[:m, 1].set(y)
+    feat = feat.at[:m, 2].set(z)
+    feat = feat.at[:m, 3].set(x * x)
+    feat = feat.at[:m, 4].set(y * y)
+    feat = feat.at[:m, 5].set(z * z)
+    feat = feat.at[:m, 6].set(x * y)
+    feat = feat.at[:m, 7].set(x * z)
+    feat = feat.at[:m, 8].set(y * z)
+    feat = feat.at[:m, 9].set(1.0)
+
+    r2 = jnp.asarray([radius * radius], jnp.float32)
+
+    grid = (n_pad // BQ,)
+    out = pl.pallas_call(
+        _moments_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, NF), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BQ, NF), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, NF), jnp.float32),
+        interpret=interpret,
+    )(r2, q, t, feat)
+
+    out = out[:n]
+    count = out[:, 9]
+    denom = jnp.maximum(count, 1.0)
+    mean = out[:, :3] / denom[:, None]
+    xx, yy, zz = out[:, 3] / denom, out[:, 4] / denom, out[:, 5] / denom
+    xy, xz, yz = out[:, 6] / denom, out[:, 7] / denom, out[:, 8] / denom
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([xx - mx * mx, xy - mx * my, xz - mx * mz], axis=-1),
+            jnp.stack([xy - mx * my, yy - my * my, yz - my * mz], axis=-1),
+            jnp.stack([xz - mx * mz, yz - my * mz, zz - mz * mz], axis=-1),
+        ],
+        axis=-2,
+    )
+    return count, mean, cov
+
+
+def radius_moments_xla(query, target, target_mask, radius, chunk: int = 4096):
+    """XLA fallback with identical semantics (CPU/tests)."""
+    from jax import lax
+
+    n, m = query.shape[0], target.shape[0]
+    r2 = radius * radius
+    num_chunks = -(-m // chunk)
+    m_pad = num_chunks * chunk
+    if m_pad > m:
+        target = jnp.pad(target, ((0, m_pad - m), (0, 0)), constant_values=1e8)
+        target_mask = jnp.pad(target_mask, (0, m_pad - m))
+    tm = target_mask.astype(jnp.float32)
+    x, y, z = target[:, 0], target[:, 1], target[:, 2]
+    feat = jnp.stack(
+        [x, y, z, x * x, y * y, z * z, x * y, x * z, y * z, jnp.ones_like(x)],
+        axis=1,
+    ) * tm[:, None]
+    feat_chunks = feat.reshape(num_chunks, chunk, 10)
+    t_chunks = target.reshape(num_chunks, chunk, 3)
+
+    def body(acc, inp):
+        t_c, f_c = inp
+        d2 = (
+            jnp.sum(query * query, axis=1)[:, None]
+            + jnp.sum(t_c * t_c, axis=1)[None, :]
+            - 2.0 * jnp.dot(query, t_c.T, precision=lax.Precision.HIGHEST)
+        )
+        W = (d2 <= r2).astype(jnp.float32)
+        return acc + jnp.dot(W, f_c, precision=lax.Precision.HIGHEST), None
+
+    out, _ = lax.scan(
+        body, jnp.zeros((n, 10), jnp.float32), (t_chunks, feat_chunks)
+    )
+    count = out[:, 9]
+    denom = jnp.maximum(count, 1.0)
+    mean = out[:, :3] / denom[:, None]
+    xx, yy, zz = out[:, 3] / denom, out[:, 4] / denom, out[:, 5] / denom
+    xy, xz, yz = out[:, 6] / denom, out[:, 7] / denom, out[:, 8] / denom
+    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([xx - mx * mx, xy - mx * my, xz - mx * mz], axis=-1),
+            jnp.stack([xy - mx * my, yy - my * my, yz - my * mz], axis=-1),
+            jnp.stack([xz - mx * mz, yz - my * mz, zz - mz * mz], axis=-1),
+        ],
+        axis=-2,
+    )
+    return count, mean, cov

@@ -147,7 +147,12 @@ def preprocess(
         pc = filters.statistical_outlier(pc, f.outlier_knn, f.outlier_std)
     if f.radius_filter:
         pc = filters.radius_outlier(pc, f.radius, f.radius_knn)
-    pc = normals_op.estimate_normals(pc, k=f.normals_k)
+    if f.normals_method == "radius":
+        pc = normals_op.estimate_normals_radius(
+            pc, radius=f.normals_radius_scale * leaf
+        )
+    else:
+        pc = normals_op.estimate_normals(pc, k=f.normals_k)
     return pc
 
 

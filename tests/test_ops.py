@@ -169,3 +169,43 @@ def test_smallest_eigenvector_batched(rng):
     np.testing.assert_allclose(np.asarray(lam), wr[:, 0], atol=1e-3, rtol=1e-3)
     dots = np.abs(np.sum(np.asarray(v) * vr[:, :, 0], axis=-1))
     np.testing.assert_allclose(dots, 1.0, atol=1e-3)
+
+
+# -------------------------------------------------------- radius moments
+def test_radius_moments_matches_xla(rng):
+    from locus_tpu.core.cloud import PointCloud
+    from locus_tpu.ops.pallas.moments import (
+        radius_moments_pallas,
+        radius_moments_xla,
+    )
+
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    pc = PointCloud.from_points(pts, capacity=512)
+    c1, m1, v1 = radius_moments_pallas(pc.xyz, pc.xyz, 0.5, interpret=True)
+    c2, m2, v2 = radius_moments_xla(pc.xyz, pc.xyz, pc.mask, 0.5)
+    valid = np.asarray(pc.mask)
+    np.testing.assert_array_equal(np.asarray(c1)[valid], np.asarray(c2)[valid])
+    np.testing.assert_allclose(np.asarray(m1)[valid], np.asarray(m2)[valid], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v1)[valid], np.asarray(v2)[valid], atol=1e-5)
+
+
+def test_radius_normals_on_plane(rng):
+    from locus_tpu.core.cloud import PointCloud
+    from locus_tpu.io import synthetic
+
+    xyz, _ = synthetic.plane(nx=25, ny=25, step=0.1)
+    pc = PointCloud.from_points(xyz, capacity=1024)
+    out = normals.estimate_normals_radius(pc, radius=0.35, viewpoint=(0, 0, 10.0))
+    n = np.asarray(out.normals)[np.asarray(out.mask)]
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-3)
+    assert np.all(n[:, 2] > 0)
+
+
+def test_radius_normals_min_neighbors(rng):
+    from locus_tpu.core.cloud import PointCloud
+
+    # two isolated points -> no normals (count < min_neighbors)
+    pts = np.array([[0, 0, 0], [10, 10, 10]], np.float32)
+    pc = PointCloud.from_points(pts, capacity=8)
+    out = normals.estimate_normals_radius(pc, radius=0.3, min_neighbors=4)
+    assert np.allclose(np.asarray(out.normals)[:2], 0.0)
