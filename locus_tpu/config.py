@@ -34,7 +34,9 @@ class RegistrationConfig:
     rotation_epsilon: float = 2e-3     # gicp.h:rotation_epsilon_ default
     corr_dist: float = 1.0             # max correspondence distance [m]
     iterations: int = 20               # outer ICP iterations
-    inner_iterations: int = 8          # Gauss-Newton inner iterations
+    # GN converges in 2-3 steps on these quadratic-per-linearization
+    # objectives (validated: identical accuracy at 3/4/8 on cube + e2e)
+    inner_iterations: int = 4
     transform_thresholding: bool = True
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
@@ -54,7 +56,7 @@ class RegistrationConfig:
             tf_epsilon=1e-5,
             corr_dist=0.2,
             iterations=20,
-            inner_iterations=8,
+            inner_iterations=4,
         )
 
 
