@@ -127,10 +127,12 @@ def point2plane_covariance(
     [1e-12, icp_max_covariance]; condition number from the clamped
     covariance spectrum (.cc:469-541 — the reference clamps the LDLT
     diagonal; we clamp eigenvalues, the same bound on the spectrum)."""
+    from locus_tpu.utils.linalg import jacobi_eigh
+
     ridge = 1e-9 * jnp.eye(6, dtype=Ap.dtype)
     cov = 0.05 * 0.05 * jnp.linalg.inv(Ap + ridge)
     cov = 0.5 * (cov + cov.T)
-    eigval, eigvec = jnp.linalg.eigh(cov)
+    eigval, eigvec = jacobi_eigh(cov)
     clamped = jnp.clip(eigval, 1e-12, icp_max_covariance)
     cov_c = (eigvec * clamped[None, :]) @ eigvec.T
     bad = jnp.any(jnp.isnan(cov_c))
@@ -142,7 +144,9 @@ def point2plane_covariance(
 def compute_observability(Ap: jnp.ndarray):
     """Eigendecomposition of Ap (.cc:439-467): returns (eigenvalues asc,
     eigenvectors as columns)."""
-    return jnp.linalg.eigh(0.5 * (Ap + Ap.T))
+    from locus_tpu.utils.linalg import jacobi_eigh
+
+    return jacobi_eigh(0.5 * (Ap + Ap.T))
 
 
 # ---------------------------------------------------------------------------
