@@ -35,17 +35,18 @@ NF = 16     # feature columns (10 used, lane-padded)
 
 
 def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
-    """q_ref (BQ, AUG); t_ref (AUG, M); f_ref (M, NF); out (BQ, NF)."""
-    m = t_ref.shape[1]
+    """q_ref (BQ, AUG); t_ref (M, AUG); f_ref (M, NF); out (BQ, NF)."""
+    m = t_ref.shape[0]
     num_chunks = m // BT
     q = q_ref[:]
     q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)   # (BQ,1)
     r2 = r2_ref[0]
 
     def body(c, acc):
-        t_chunk = t_ref[:, pl.ds(c * BT, BT)]                  # (AUG, BT)
-        scores = jnp.dot(
-            q, t_chunk, preferred_element_type=jnp.float32,
+        t_chunk = t_ref[pl.ds(c * BT, BT), :]                  # (BT, AUG)
+        scores = jax.lax.dot_general(
+            q, t_chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                       # |t|^2 - 2qt
         d2 = scores + q2
@@ -78,12 +79,12 @@ def radius_moments_pallas(
     q = q.at[:n, :3].set(query)
     q = q.at[:n, 3].set(1.0)
 
-    t = jnp.zeros((AUG, m_pad), jnp.float32)
-    t = t.at[:3, :m].set(-2.0 * target.T)
+    t = jnp.zeros((m_pad, AUG), jnp.float32)
+    t = t.at[:m, :3].set(-2.0 * target)
     t2 = jnp.sum(target * target, axis=1)
-    t = t.at[3, :m].set(t2)
+    t = t.at[:m, 3].set(t2)
     if m_pad > m:
-        t = t.at[3, m:].set(1e12)  # padded targets fail every gate
+        t = t.at[m:, 3].set(1e12)  # padded targets fail every gate
 
     x, y, z = target[:, 0], target[:, 1], target[:, 2]
     feat = jnp.zeros((m_pad, NF), jnp.float32)
@@ -107,7 +108,7 @@ def radius_moments_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, AUG), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((m_pad, NF), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BQ, NF), lambda g: (g, 0), memory_space=pltpu.VMEM),

@@ -33,14 +33,14 @@ AUG = 16      # augmented K dim (bf16 sublane alignment)
 
 
 def _nn_kernel(q_ref, t_ref, d_ref, i_ref):
-    """q_ref: (BQ, 8); t_ref: (8, M) resident in VMEM; outputs (BQ, 1).
+    """q_ref: (BQ, AUG); t_ref: (M, AUG) resident in VMEM; outputs (BQ, 1).
 
     Running minima are kept PER LANE (BQ, 128) so the hot loop is pure
     elementwise VPU work; the cross-lane argmin happens exactly once at
     the end. (A per-chunk argmin costs a 1024->1 reduction tree per chunk
     and dominates the kernel.)
     """
-    m = t_ref.shape[1]
+    m = t_ref.shape[0]
     num_chunks = m // BT
     SUB = BT // 128
 
@@ -52,9 +52,13 @@ def _nn_kernel(q_ref, t_ref, d_ref, i_ref):
 
     def body(c, carry):
         best_d, best_i = carry                               # (BQ,128) each
-        t_chunk = t_ref[:, pl.ds(c * BT, BT)]                # (AUG, BT)
-        scores = jnp.dot(
-            q_f32, t_chunk, preferred_element_type=jnp.float32,
+        t_chunk = t_ref[pl.ds(c * BT, BT), :]                # (BT, AUG)
+        # transposed-rhs contraction: keeps the target row-major so the
+        # caller never pays an (M,3)->(AUG,M) relayout (a ~3 ms gather
+        # at 131k points on TPU)
+        scores = jax.lax.dot_general(
+            q_f32, t_chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         base = c * BT
@@ -96,12 +100,12 @@ def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = Fa
     q = q.at[:n, :3].set(query)
     q = q.at[:n, 3].set(1.0)
 
-    t = jnp.zeros((AUG, m_pad), jnp.float32)
-    t = t.at[:3, :m].set(-2.0 * target.T)
+    t = jnp.zeros((m_pad, AUG), jnp.float32)
+    t = t.at[:m, :3].set(-2.0 * target)
     t2 = jnp.sum(target * target, axis=1)
-    t = t.at[3, :m].set(t2)
+    t = t.at[:m, 3].set(t2)
     if m_pad > m:
-        t = t.at[3, m:].set(jnp.inf)  # padded targets never win
+        t = t.at[m:, 3].set(jnp.inf)  # padded targets never win
 
     grid = (n_pad // BQ,)
     d, i = pl.pallas_call(
@@ -109,7 +113,7 @@ def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = Fa
         grid=grid,
         in_specs=[
             pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, AUG), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
