@@ -31,15 +31,34 @@ class MapState(NamedTuple):
     write_ptr: jnp.ndarray         # int32 ring pointer
     num_keyframes: jnp.ndarray     # int32
     last_refresh_position: jnp.ndarray  # (3,) of last MSW refresh
+    nn_aug: jnp.ndarray            # (AUG, m_pad) cached NN operand — the
+    # (M,3)->(AUG,M) relayout costs ~3 ms per call at 131k on TPU, so it
+    # is maintained across scans (incremental on insert, rebuilt on MSW)
 
 
 def init_map(cfg: MapperConfig) -> MapState:
+    from locus_tpu.ops.pallas.nn import build_nn_target
+
+    cloud = PointCloud.empty(cfg.map_capacity)
     return MapState(
-        cloud=PointCloud.empty(cfg.map_capacity),
+        cloud=cloud,
         write_ptr=jnp.asarray(0, jnp.int32),
         num_keyframes=jnp.asarray(0, jnp.int32),
         last_refresh_position=jnp.zeros((3,), jnp.float32),
+        nn_aug=build_nn_target(cloud.xyz),
     )
+
+
+def _map_nearest(state: MapState, query_xyz: jnp.ndarray):
+    """1-NN into the map store: cached-operand Pallas path on TPU, plain
+    XLA on CPU."""
+    import jax
+
+    if jax.default_backend() != "cpu" and query_xyz.shape[0] >= 128:
+        from locus_tpu.ops.pallas.nn import nearest_pallas_pre
+
+        return nearest_pallas_pre(query_xyz, state.nn_aug, state.cloud.xyz)
+    return neighbors.nearest(query_xyz, state.cloud.xyz)
 
 
 def insert_keyframe(
@@ -50,7 +69,7 @@ def insert_keyframe(
     `map_voxel_leaf` from every stored point; write them at the ring
     pointer (overwriting the oldest entries once full)."""
     leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
-    d2, _ = neighbors.nearest(keyframe.xyz, state.cloud.xyz)
+    d2, _ = _map_nearest(state, keyframe.xyz)
     novel = keyframe.mask & (d2 > leaf2)
 
     kf = keyframe.with_mask(novel).compact()     # novel points to the front
@@ -63,6 +82,8 @@ def insert_keyframe(
     # entries are not clobbered by padding.
     write_idx = jnp.where(kf.mask, slot, cap)    # cap = out of range -> drop
 
+    from locus_tpu.ops.pallas.nn import update_nn_target
+
     cloud = state.cloud
     new_cloud = PointCloud(
         cloud.xyz.at[write_idx].set(kf.xyz, mode="drop"),
@@ -70,11 +91,13 @@ def insert_keyframe(
         cloud.intensity.at[write_idx].set(kf.intensity, mode="drop"),
         cloud.mask.at[write_idx].set(kf.mask, mode="drop"),
     )
+    nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, kf.mask)
     return MapState(
         cloud=new_cloud,
         write_ptr=(state.write_ptr + n_novel.astype(jnp.int32)) % cap,
         num_keyframes=state.num_keyframes + 1,
         last_refresh_position=state.last_refresh_position,
+        nn_aug=nn_aug,
     )
 
 
@@ -85,11 +108,17 @@ def refresh_msw(
     evict stored points outside a box_filter_size box centered on the
     robot. Caller decides *when* (moved > translation_threshold_msw and
     velocity low — pipeline.py)."""
+    from locus_tpu.ops.pallas.nn import build_nn_target
+
     half = cfg.box_filter_size * 0.5
     inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
     keep = state.cloud.mask & inside
     cloud = state.cloud.with_mask(keep)
-    return state._replace(cloud=cloud, last_refresh_position=position)
+    return state._replace(
+        cloud=cloud,
+        last_refresh_position=position,
+        nn_aug=build_nn_target(cloud.xyz),
+    )
 
 
 def approx_nearest_neighbors(
@@ -99,7 +128,7 @@ def approx_nearest_neighbors(
     point (world frame) return its nearest stored map point — the
     'submap' reference cloud consumed by scan-to-submap GICP. Shape
     matches the query; queries with no valid map point are masked."""
-    d2, idx = neighbors.nearest(query.xyz, state.cloud.xyz)
+    d2, idx = _map_nearest(state, query.xyz)
     mask = query.mask & state.cloud.mask[idx]
     return PointCloud(
         jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),

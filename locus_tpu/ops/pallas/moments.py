@@ -35,31 +35,33 @@ NF = 16     # feature columns (10 used, lane-padded)
 
 
 def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
-    """q_ref (BQ, AUG); t_ref (M, AUG); f_ref (M, NF); out (BQ, NF)."""
-    m = t_ref.shape[0]
-    num_chunks = m // BT
+    """q_ref (BQ, AUG); t_ref (BT, AUG); f_ref (BT, NF); out (BQ, NF)
+    accumulated across the target-chunk grid dimension (out block is
+    revisited: init at chunk 0, add thereafter)."""
+    c = pl.program_id(1)
     q = q_ref[:]
     q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)   # (BQ,1)
     r2 = r2_ref[0]
 
-    def body(c, acc):
-        t_chunk = t_ref[pl.ds(c * BT, BT), :]                  # (BT, AUG)
-        scores = jax.lax.dot_general(
-            q, t_chunk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                       # |t|^2 - 2qt
-        d2 = scores + q2
-        W = (d2 <= r2).astype(jnp.float32)                      # (BQ, BT)
-        feat = f_ref[pl.ds(c * BT, BT), :]                      # (BT, NF)
-        return acc + jnp.dot(
-            W, feat, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    out_ref[:] = jax.lax.fori_loop(
-        0, num_chunks, body, jnp.zeros((BQ, NF), jnp.float32)
+    scores = jax.lax.dot_general(
+        q, t_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                           # |t|^2 - 2qt
+    d2 = scores + q2
+    W = (d2 <= r2).astype(jnp.float32)                          # (BQ, BT)
+    contrib = jnp.dot(
+        W, f_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(c != 0)
+    def _():
+        out_ref[:] = out_ref[:] + contrib
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -101,17 +103,17 @@ def radius_moments_pallas(
 
     r2 = jnp.asarray([radius * radius], jnp.float32)
 
-    grid = (n_pad // BQ,)
+    grid = (n_pad // BQ, m_pad // BT)
     out = pl.pallas_call(
         _moments_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, AUG), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, NF), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ, AUG), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, AUG), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, NF), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((BQ, NF), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((BQ, NF), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, NF), jnp.float32),
         interpret=interpret,
     )(r2, q, t, feat)

@@ -2,21 +2,29 @@
 
 The XLA path for 1-NN (pairwise_sqdist -> argmin) materializes the full
 (N, M) distance matrix in HBM — at production shapes (4096 x 131072 map
-kNN, 40x 4096 x 4096 GICP correspondence passes per scan) that's
+kNN, ~40x 4096 x 4096 GICP correspondence passes per scan) that's
 gigabytes of HBM traffic per sweep and dominates the scan budget. This
-kernel never leaves VMEM: per query tile it streams target chunks
-through the MXU and keeps a running (min, argmin).
+kernel keeps every distance tile in VMEM.
 
 Formulation: with augmented operands
     q_aug = [x, y, z, 1, 0, ...]              (N, AUG)
-    t_aug = [-2x; -2y; -2z; |t|^2; 0; ...]    (AUG, M)
+    t_aug = [-2x; -2y; -2z; |t|^2; 0...]      (AUG, M)
 the MXU product q_aug @ t_aug gives score = |t|^2 - 2 q.t =
 ||q - t||^2 - ||q||^2, which shares its argmin with the true distance.
 Exact distances for the winners are recomputed outside the kernel from
 the gathered coordinates (better f32 accuracy than the matmul form).
 
-K=8 on the MXU is lane-padded and firmly bandwidth-bound — which is the
-point: traffic drops from O(N*M) distances to O(M + N) operands.
+Layout notes (hard-won):
+- t_aug MUST be (AUG, M): an (AUG=8, BT) tile is exactly one f32
+  sublane tile and is dense in VMEM. A row-major (BT, AUG) block lane-
+  pads 8 -> 128 and wastes 16x DMA bandwidth; a VMEM-resident (M, AUG)
+  block OOMs at M=131k.
+- The (M,3) -> (AUG, M) transpose is a slow relayout in XLA (~3 ms at
+  131k). For loop-invariant targets (GICP iterations) XLA hoists it;
+  for the map, MapState caches the transposed operand across scans
+  (built by build_nn_target, updated incrementally on insert).
+- Running minima are kept PER LANE (BQ, 128): the hot loop is pure
+  elementwise VPU work and the cross-lane argmin happens exactly once.
 """
 from __future__ import annotations
 
@@ -28,41 +36,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ = 256      # query tile (grid dim)
-BT = 1024     # target chunk streamed inside the kernel
-AUG = 16      # augmented K dim (bf16 sublane alignment)
+BT = 2048     # target chunk streamed inside the kernel
+AUG = 8       # augmented K dim
 
 
 def _nn_kernel(q_ref, t_ref, d_ref, i_ref):
-    """q_ref: (BQ, AUG); t_ref: (M, AUG) resident in VMEM; outputs (BQ, 1).
-
-    Running minima are kept PER LANE (BQ, 128) so the hot loop is pure
-    elementwise VPU work; the cross-lane argmin happens exactly once at
-    the end. (A per-chunk argmin costs a 1024->1 reduction tree per chunk
-    and dominates the kernel.)
-    """
-    m = t_ref.shape[0]
+    """q_ref: (BQ, AUG); t_ref: (AUG, M) resident in VMEM; outputs (BQ, 1)."""
+    m = t_ref.shape[1]
     num_chunks = m // BT
-    SUB = BT // 128
-
-    # NOTE: a bf16-split 3-pass dot (hi/lo decomposition) would halve the
-    # MXU passes vs HIGHEST, but Mosaic (this version) hits an internal
-    # layout bug combining bf16 dots with the select-based running-min
-    # update — so we stay on the f32 HIGHEST dot.
     q_f32 = q_ref[:]
 
     def body(c, carry):
         best_d, best_i = carry                               # (BQ,128) each
-        t_chunk = t_ref[pl.ds(c * BT, BT), :]                # (BT, AUG)
-        # transposed-rhs contraction: keeps the target row-major so the
-        # caller never pays an (M,3)->(AUG,M) relayout (a ~3 ms gather
-        # at 131k points on TPU)
-        scores = jax.lax.dot_general(
-            q_f32, t_chunk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        t_chunk = t_ref[:, pl.ds(c * BT, BT)]                # (AUG, BT)
+        scores = jnp.dot(
+            q_f32, t_chunk, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
         base = c * BT
-        for s in range(SUB):
+        for s in range(BT // 128):
             sub = scores[:, s * 128 : (s + 1) * 128]
             idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
                 base + s * 128
@@ -85,35 +77,48 @@ def _nn_kernel(q_ref, t_ref, d_ref, i_ref):
     i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = False):
-    """Exact 1-NN: (N,3) queries vs (M,3) targets -> (d2 (N,), idx (N,)).
-
-    N is padded to BQ, M to BT internally. Padded targets use a large
-    sentinel so they never win.
-    """
-    n, m = query.shape[0], target.shape[0]
-    n_pad = -(-n // BQ) * BQ
-    m_pad = -(-m // BT) * BT
-
-    q = jnp.zeros((n_pad, AUG), jnp.float32)
-    q = q.at[:n, :3].set(query)
-    q = q.at[:n, 3].set(1.0)
-
-    t = jnp.zeros((m_pad, AUG), jnp.float32)
-    t = t.at[:m, :3].set(-2.0 * target)
+def build_nn_target(target: jnp.ndarray, m_pad: int | None = None) -> jnp.ndarray:
+    """Build the (AUG, m_pad) augmented operand from (M,3) coordinates.
+    Cache this when the target persists across calls (the map store)."""
+    m = target.shape[0]
+    if m_pad is None:
+        m_pad = -(-m // BT) * BT
+    t = jnp.zeros((AUG, m_pad), jnp.float32)
+    t = t.at[:3, :m].set(-2.0 * target.T)
     t2 = jnp.sum(target * target, axis=1)
-    t = t.at[:m, 3].set(t2)
+    t = t.at[3, :m].set(t2)
     if m_pad > m:
-        t = t.at[m:, 3].set(jnp.inf)  # padded targets never win
+        t = t.at[3, m:].set(jnp.inf)  # padded targets never win
+    return t
 
+
+def update_nn_target(
+    t_aug: jnp.ndarray, idx: jnp.ndarray, xyz: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """Incrementally write K points into an existing augmented operand at
+    column indices `idx` (out-of-range dropped; the map-insert path)."""
+    safe_idx = jnp.where(valid, idx, t_aug.shape[1])
+    cols = jnp.concatenate(
+        [
+            -2.0 * xyz.T,
+            jnp.sum(xyz * xyz, axis=1)[None, :],
+            jnp.zeros((AUG - 4, xyz.shape[0]), jnp.float32),
+        ],
+        axis=0,
+    )
+    return t_aug.at[:, safe_idx].set(cols, mode="drop")
+
+
+def _run_kernel(q, t_aug, interpret):
+    n_pad = q.shape[0]
     grid = (n_pad // BQ,)
-    d, i = pl.pallas_call(
+    m_pad = t_aug.shape[1]
+    return pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m_pad, AUG), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -124,10 +129,44 @@ def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = Fa
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(q, t)
+    )(q, t_aug)
 
+
+def _pack_query(query: jnp.ndarray) -> jnp.ndarray:
+    n = query.shape[0]
+    n_pad = -(-n // BQ) * BQ
+    q = jnp.zeros((n_pad, AUG), jnp.float32)
+    q = q.at[:n, :3].set(query)
+    q = q.at[:n, 3].set(1.0)
+    return q
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = False):
+    """Exact 1-NN: (N,3) queries vs (M,3) targets -> (d2 (N,), idx (N,))."""
+    n, m = query.shape[0], target.shape[0]
+    q = _pack_query(query)
+    t = build_nn_target(target)
+    d, i = _run_kernel(q, t, interpret)
     idx = jnp.clip(i[:n, 0], 0, m - 1)
-    # exact distances from gathered winners (avoids matmul cancellation)
+    diff = query - target[idx]
+    d2 = jnp.sum(diff * diff, axis=1)
+    return d2, idx
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_pallas_pre(
+    query: jnp.ndarray,
+    t_aug: jnp.ndarray,
+    target: jnp.ndarray,
+    interpret: bool = False,
+):
+    """1-NN against a PREBUILT augmented operand (the cached map path).
+    `target` (M,3) is only used for the exact-distance recompute."""
+    n, m = query.shape[0], target.shape[0]
+    q = _pack_query(query)
+    d, i = _run_kernel(q, t_aug, interpret)
+    idx = jnp.clip(i[:n, 0], 0, m - 1)
     diff = query - target[idx]
     d2 = jnp.sum(diff * diff, axis=1)
     return d2, idx

@@ -350,10 +350,13 @@ def init_with_gt_map(
     )
     if map_normals is None:
         pc = normals_op.estimate_normals(pc, k=cfg.filtering.normals_k)
+    from locus_tpu.ops.pallas.nn import build_nn_target
+
     new_map = state.map._replace(
         cloud=pc,
         write_ptr=pc.count().astype(jnp.int32) % cfg.mapper.map_capacity,
         num_keyframes=jnp.asarray(1, jnp.int32),
+        nn_aug=build_nn_target(pc.xyz),
     )
     return state._replace(map=new_map)
 

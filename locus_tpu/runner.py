@@ -154,8 +154,10 @@ def run_sequence(
     cfg: Optional[LocusConfig] = None,
     max_scans: Optional[int] = None,
     collect_outputs: bool = True,
+    return_state: bool = False,
 ):
-    """Replay a sequence; returns (poses (T,4,4), outputs list, RateReport)."""
+    """Replay a sequence; returns (poses (T,4,4), outputs list, RateReport)
+    — plus the final LocusState when return_state=True."""
     cfg = cfg or LocusConfig()
     rstep = make_replay_step(cfg)
     state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
@@ -219,4 +221,6 @@ def run_sequence(
                     "map_size": int(out.map_size),
                 }
             )
+    if return_state:
+        return poses, outputs, report, state
     return poses, outputs, report
