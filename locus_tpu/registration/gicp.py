@@ -152,6 +152,134 @@ def inv3x3(A: jnp.ndarray, ridge: float = 1e-6) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Component-form symmetric-3x3 algebra
+#
+# (N,3,3) arrays tile terribly on TPU (the minor dims pad 3->8 x 3->128,
+# ~40x memory amplification per op), and the GN inner loop is a chain of
+# such ops. Representing each per-point symmetric matrix as SIX (N,)
+# component arrays keeps everything in dense (N,) layouts on the VPU and
+# lets XLA fuse the whole chain. For the production covariance path
+# (plane disks from normals) no matrix is ever materialized:
+# R C Rt = I - (1-eps)(Rn)(Rn)^T needs only the rotated normal.
+# ---------------------------------------------------------------------------
+
+def _sym3_from_mats(C: jnp.ndarray):
+    """(N,3,3) -> 6-tuple of (N,) components (m00,m01,m02,m11,m12,m22)."""
+    return (C[:, 0, 0], C[:, 0, 1], C[:, 0, 2], C[:, 1, 1], C[:, 1, 2], C[:, 2, 2])
+
+
+def _sym3_two_disks(a: jnp.ndarray, b: jnp.ndarray, epsilon: float):
+    """Components of (I - k a a^T) + (I - k b b^T), k = 1-eps: the sum of
+    the rotated source disk and the target disk covariances."""
+    k = 1.0 - epsilon
+    ax, ay, az = a[:, 0], a[:, 1], a[:, 2]
+    bx, by, bz = b[:, 0], b[:, 1], b[:, 2]
+    return (
+        2.0 - k * (ax * ax + bx * bx),
+        -k * (ax * ay + bx * by),
+        -k * (ax * az + bx * bz),
+        2.0 - k * (ay * ay + by * by),
+        -k * (ay * az + by * bz),
+        2.0 - k * (az * az + bz * bz),
+    )
+
+
+def _sym3_add(A, B):
+    return tuple(x + y for x, y in zip(A, B))
+
+
+def _inv_sym3(A, ridge: float = 1e-6):
+    """Adjugate inverse of symmetric 3x3 in component form."""
+    a, b, c, d, e, f = A
+    a = a + ridge
+    d = d + ridge
+    f = f + ridge
+    co00 = d * f - e * e
+    co01 = c * e - b * f
+    co02 = b * e - c * d
+    co11 = a * f - c * c
+    co12 = b * c - a * e
+    co22 = a * d - b * b
+    det = a * co00 + b * co01 + c * co02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    return (
+        co00 * inv_det, co01 * inv_det, co02 * inv_det,
+        co11 * inv_det, co12 * inv_det, co22 * inv_det,
+    )
+
+
+def _sym3_vec(M, vx, vy, vz):
+    """M @ v for symmetric component M and vector components."""
+    m00, m01, m02, m11, m12, m22 = M
+    return (
+        m00 * vx + m01 * vy + m02 * vz,
+        m01 * vx + m11 * vy + m12 * vz,
+        m02 * vx + m12 * vy + m22 * vz,
+    )
+
+
+def _gauss_newton_step_comps(p_cur, q, M, w, lm_lambda):
+    """Component-form weighted GN step for min sum_i w_i r^T M r with
+    r = exp(xi) p - q and J = [I | -skew(p)] — no (N,3,3) arrays.
+
+    All 21 unique entries of H = sum J^T M J and the 6 of g are scalar
+    reductions of fused (N,) expressions.
+    """
+    px, py, pz = p_cur[:, 0], p_cur[:, 1], p_cur[:, 2]
+    rx = px - q[:, 0]
+    ry = py - q[:, 1]
+    rz = pz - q[:, 2]
+    Mw = tuple(m * w for m in M)
+    m00, m01, m02, m11, m12, m22 = Mw
+
+    # B = M @ skew(p): columns from the skew structure
+    b00 = m01 * pz - m02 * py
+    b10 = m11 * pz - m12 * py
+    b20 = m12 * pz - m22 * py
+    b01 = -m00 * pz + m02 * px
+    b11 = -m01 * pz + m12 * px
+    b21 = -m02 * pz + m22 * px
+    b02 = m00 * py - m01 * px
+    b12 = m01 * py - m11 * px
+    b22 = m02 * py - m12 * px
+
+    # C = P^T M P = -skew(p) @ B (rows from skew structure, negated)
+    c00 = -(-pz * b10 + py * b20)
+    c01 = -(-pz * b11 + py * b21)
+    c02 = -(-pz * b12 + py * b22)
+    c11 = -(pz * b01 - px * b21)
+    c12 = -(pz * b02 - px * b22)
+    c22 = -(-py * b02 + px * b12)
+
+    Mr = _sym3_vec(Mw, rx, ry, rz)
+    # g_w = -P^T M r = P M r
+    gw0 = -pz * Mr[1] + py * Mr[2]
+    gw1 = pz * Mr[0] - px * Mr[2]
+    gw2 = -py * Mr[0] + px * Mr[1]
+
+    def s(x):
+        return jnp.sum(x)
+
+    H_tt = jnp.asarray(
+        [[s(m00), s(m01), s(m02)], [s(m01), s(m11), s(m12)], [s(m02), s(m12), s(m22)]]
+    )
+    H_tw = -jnp.asarray(
+        [[s(b00), s(b01), s(b02)], [s(b10), s(b11), s(b12)], [s(b20), s(b21), s(b22)]]
+    )
+    H_ww = jnp.asarray(
+        [[s(c00), s(c01), s(c02)], [s(c01), s(c11), s(c12)], [s(c02), s(c12), s(c22)]]
+    )
+    g = jnp.asarray([s(Mr[0]), s(Mr[1]), s(Mr[2]), s(gw0), s(gw1), s(gw2)])
+
+    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+    H = H + lm_lambda * jnp.eye(6, dtype=H.dtype) * jnp.maximum(
+        jnp.trace(H) / 6.0, 1.0
+    ) * 1e-6
+    dx = -jnp.linalg.solve(H, g)
+    return dx
+
+
+# ---------------------------------------------------------------------------
 # The registration kernel
 # ---------------------------------------------------------------------------
 
@@ -216,6 +344,12 @@ def gicp_register(
     if cfg.recompute_covariances and mode == "normals":
         mode = "recompute"
 
+    # Production path ("normals" with disk covariances): keep only the
+    # normals and build M components on the fly — no (N,3,3) arrays.
+    disk_path = (
+        mode == "normals" and source_cov is None and target_cov is None
+    )
+
     def make_cov(cloud):
         if mode == "recompute":
             return covariance_from_neighborhood(
@@ -227,13 +361,16 @@ def gicp_register(
             )
         return covariance_from_normals(cloud.normals, cfg.gicp_epsilon)
 
-    if source_cov is None:
-        source_cov = make_cov(source)
-    if target_cov is None:
-        target_cov = make_cov(target)
+    if not disk_path:
+        if source_cov is None:
+            source_cov = make_cov(source)
+        if target_cov is None:
+            target_cov = make_cov(target)
 
-    src0 = se3.transform_points(guess, source.xyz)   # pre-warped source
+    # pre-warped source (and its normals, rotated by the guess)
+    src0 = se3.transform_points(guess, source.xyz)
     src0 = jnp.where(source.mask[:, None], src0, source.xyz)  # keep sentinels
+    src0_normals = se3.rotate_vectors(guess, source.normals)
     corr_dist2 = cfg.corr_dist * cfg.corr_dist
 
     def outer_cond(carry):
@@ -252,19 +389,26 @@ def gicp_register(
         ).astype(jnp.float32)
 
         q = target.xyz[j]
-        C2 = target_cov[j]
-        RC1Rt = jnp.einsum(
-            "ij,njk,lk->nil", R, source_cov, R,
-            precision=lax.Precision.HIGHEST,
-        )
-        M = inv3x3(C2 + RC1Rt)
+        if disk_path:
+            # A = C2 + R C1 R^T = (I - k m m^T) + (I - k (Rn)(Rn)^T)
+            nr = se3.rotate_vectors(T, src0_normals)
+            m_t = target.normals[j]
+            A = _sym3_two_disks(nr, m_t, cfg.gicp_epsilon)
+        else:
+            C2 = target_cov[j]
+            RC1Rt = jnp.einsum(
+                "ij,njk,lk->nil", R, source_cov, R,
+                precision=lax.Precision.HIGHEST,
+            )
+            A = _sym3_from_mats(C2 + RC1Rt)
+        M = _inv_sym3(A)
 
         # Inner Gauss-Newton: correspondences and M fixed (as in the
         # reference's per-outer-iteration BFGS).
         def inner_body(_, T_in):
             p_cur = se3.transform_points(T_in, src0)
             p_cur = jnp.where(source.mask[:, None], p_cur, q)  # zero-residual pads
-            dx = _gauss_newton_step(p_cur, q, M, w, cfg.levenberg_lambda)
+            dx = _gauss_newton_step_comps(p_cur, q, M, w, cfg.levenberg_lambda)
             return se3.compose(se3.se3_exp(dx), T_in)
 
         T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)

@@ -36,7 +36,13 @@ from locus_tpu.config import RegistrationConfig
 from locus_tpu.core.cloud import PointCloud, PAD_COORD
 from locus_tpu.geometry import se3
 from locus_tpu.ops import neighbors
-from locus_tpu.registration.gicp import GICPResult, inv3x3, _gauss_newton_step, _scaled_delta
+from locus_tpu.registration.gicp import (
+    GICPResult,
+    inv3x3,
+    _gauss_newton_step_comps,
+    _scaled_delta,
+    _sym3_from_mats,
+)
 from locus_tpu.registration.registry import register_method
 
 
@@ -146,11 +152,12 @@ def ndt_register(
         w = w_gate * w_score
 
         src0f = jnp.repeat(src0, K, axis=0)
+        M = _sym3_from_mats(icov)
 
         def inner_body(_, T_in):
             p_cur = se3.transform_points(T_in, src0f)
             p_cur = jnp.where(maskf[:, None], p_cur, mu)
-            dx = _gauss_newton_step(p_cur, mu, icov, w, cfg.levenberg_lambda)
+            dx = _gauss_newton_step_comps(p_cur, mu, M, w, cfg.levenberg_lambda)
             return se3.compose(se3.se3_exp(dx), T_in)
 
         T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
