@@ -110,3 +110,31 @@ def test_feature_extraction_path(tunnel_seq):
     err_yz = np.abs(poses[:, 1:3, 3] - gt[:, 1:3, 3])
     assert err_yz.max() < 0.1, err_yz.max()
     assert outputs[-1]["num_points"] > 300
+
+
+def test_drop_rate_statistics(tunnel_seq):
+    """CheckMsgDropRate analog (Locus.cc:401-423): sequence-gap counting."""
+    import jax
+    from locus_tpu.runner import make_replay_step, pack_scan
+    from locus_tpu.io.dataset import sensor_windows_for_scan
+    from locus_tpu import pipeline as pl_mod
+
+    cfg = small_cfg()
+    rstep = make_replay_step(cfg)
+    state = pl_mod.init_state(cfg)
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    # feed scans with seq ids 0, 1, 4 (two dropped)
+    for i, sid in enumerate([0, 1, 4]):
+        xyz, mask = pack_scan(
+            tunnel_seq.scans[i], tunnel_seq.scan_valid[i], cfg.raw_scan_capacity
+        )
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(tunnel_seq, i)
+        state, out = rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(tunnel_seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(sid, jnp.int32),
+        )
+    assert int(state.stats.dropped_msgs) == 2
+    assert int(state.stats.scan_count) == 3
