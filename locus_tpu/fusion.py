@@ -134,38 +134,51 @@ def push_odom(state: FusionState, stamp, pose_4x4, wall_time=None) -> FusionStat
     return state._replace(odom=nb)
 
 
+def _ring_write_indices(ptr, ok, size):
+    """Vectorized ring-buffer append: each valid entry gets the next slot
+    in order; invalid entries are dropped (index = size)."""
+    offs = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    idx = (ptr + offs) % size
+    return jnp.where(ok, idx, size), ptr + jnp.sum(ok.astype(jnp.int32))
+
+
 def push_imu_batch(state: FusionState, stamps, quats) -> FusionState:
     """Vectorized ingest of a (K,) stamp + (K,4) quat window with -inf
-    stamps as padding (host feeds per-scan sensor windows)."""
-    import jax
-    from jax import lax
-
-    def body(st, x):
-        stamp, quat = x
-        ok = jnp.isfinite(stamp)
-        new = push_imu(st, stamp, quat, wall_time=stamp)
-        st = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, b, a), st, new)
-        return st, None
-
-    state, _ = lax.scan(body, state, (jnp.asarray(stamps, jnp.float32),
-                                      jnp.asarray(quats, jnp.float32)))
-    return state
+    stamps as padding (one scatter, no sequential scan — the host feeds
+    per-scan sensor windows)."""
+    stamps = jnp.asarray(stamps, jnp.float32)
+    quats = jnp.asarray(quats, jnp.float32)
+    ok = jnp.isfinite(stamps) & ~jnp.any(jnp.isnan(quats), axis=1)
+    b = state.imu
+    size = b.stamps.shape[0]
+    write_idx, new_ptr = _ring_write_indices(b.ptr, ok, size)
+    latest = jnp.max(jnp.where(ok, stamps, -jnp.inf))
+    nb = ImuBuffer(
+        stamps=b.stamps.at[write_idx].set(stamps, mode="drop"),
+        quats=b.quats.at[write_idx].set(quats, mode="drop"),
+        valid=b.valid.at[write_idx].set(True, mode="drop"),
+        ptr=new_ptr,
+        last_reception=jnp.maximum(b.last_reception, latest),
+    )
+    return state._replace(imu=nb)
 
 
 def push_odom_batch(state: FusionState, stamps, poses) -> FusionState:
-    import jax
-    from jax import lax
-
-    def body(st, x):
-        stamp, pose = x
-        ok = jnp.isfinite(stamp)
-        new = push_odom(st, stamp, pose, wall_time=stamp)
-        st = jax.tree_util.tree_map(lambda a, b: jnp.where(ok, b, a), st, new)
-        return st, None
-
-    state, _ = lax.scan(body, state, (jnp.asarray(stamps, jnp.float32),
-                                      jnp.asarray(poses, jnp.float32)))
-    return state
+    stamps = jnp.asarray(stamps, jnp.float32)
+    poses = jnp.asarray(poses, jnp.float32)
+    ok = jnp.isfinite(stamps) & ~jnp.any(jnp.isnan(poses), axis=(1, 2))
+    b = state.odom
+    size = b.stamps.shape[0]
+    write_idx, new_ptr = _ring_write_indices(b.ptr, ok, size)
+    latest = jnp.max(jnp.where(ok, stamps, -jnp.inf))
+    nb = OdomBuffer(
+        stamps=b.stamps.at[write_idx].set(stamps, mode="drop"),
+        poses=b.poses.at[write_idx].set(poses, mode="drop"),
+        valid=b.valid.at[write_idx].set(True, mode="drop"),
+        ptr=new_ptr,
+        last_reception=jnp.maximum(b.last_reception, latest),
+    )
+    return state._replace(odom=nb)
 
 
 # ---------------------------------------------------------------------------
