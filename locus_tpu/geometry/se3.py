@@ -93,8 +93,10 @@ def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: (...,3) axis-angle -> (...,3,3) rotation. Safe at 0."""
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
-    # Taylor-safe coefficients
-    small = theta2 < 1e-8
+    # Taylor-safe coefficients. NOTE: the threshold must be generous in
+    # f32 — (1-cos t)/t^2 cancels catastrophically already at t ~ 1e-3;
+    # Taylor truncation at t = 1e-2 is ~1e-9, far below f32 eps.
+    small = theta2 < 1e-4
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
     W = skew(w)
@@ -118,7 +120,7 @@ def so3_log(R: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     ) * 0.5
     sin_theta = jnp.sin(theta)
-    small = theta < 1e-4
+    small = theta < 1e-2
     scale = jnp.where(small, 1.0 + theta * theta / 6.0, theta / jnp.where(small, 1.0, sin_theta + _EPS))
     w = v * scale[..., None]
     # near pi: fall back to diagonal-based extraction
@@ -149,7 +151,7 @@ def se3_exp(xi: jnp.ndarray) -> jnp.ndarray:
     w = xi[..., 3:]
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4  # see so3_exp: f32 cancellation bound
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
     c = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (1.0 - a) / (theta2 + _EPS))
@@ -169,7 +171,7 @@ def se3_log(T: jnp.ndarray) -> jnp.ndarray:
     w = so3_log(R)
     theta2 = jnp.sum(w * w, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS)
-    small = theta2 < 1e-8
+    small = theta2 < 1e-4  # see so3_exp: f32 cancellation bound
     a = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / theta)
     b = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / (theta2 + _EPS))
     W = skew(w)

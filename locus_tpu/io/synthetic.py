@@ -171,6 +171,21 @@ def simulate_scan(
     return pts_s.astype(np.float32), valid
 
 
+def make_loop_trajectory(num_poses: int, radius: float = 8.0) -> np.ndarray:
+    """Closed circular loop (for loop-closure / pose-graph tests):
+    (num_poses, 4, 4), heading tangent to the circle, returning to the
+    start."""
+    poses = np.zeros((num_poses, 4, 4))
+    for i in range(num_poses):
+        th = 2 * np.pi * i / num_poses
+        c, s = np.cos(th), np.sin(th)
+        poses[i] = np.eye(4)
+        # position on circle; heading tangent (d/dth)
+        poses[i, :3, 3] = [radius * np.sin(th), radius * (1 - np.cos(th)), 0.0]
+        poses[i, :3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    return poses
+
+
 def make_trajectory(num_poses: int, step: float = 0.35, seed: int = 3) -> np.ndarray:
     """Forward motion along +x with sinusoidal lateral sway and yaw —
     (num_poses, 4, 4) ground-truth poses."""

@@ -1,0 +1,112 @@
+"""Config-4 integration: front-end replay around a loop + pose-graph
+backend with GICP-verified loop closure, optimized on the 8-device mesh
+(factor-sharded), correction pushed back via set_integrated_estimate."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from locus_tpu import localization, pipeline
+from locus_tpu.backend import PoseGraphBackend
+from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+from locus_tpu.core.cloud import PointCloud
+from locus_tpu.io import synthetic
+from locus_tpu.io.dataset import Sequence
+from locus_tpu.parallel import mesh as mesh_lib
+from locus_tpu.runner import make_replay_step, pack_scan
+from locus_tpu.io.dataset import sensor_windows_for_scan
+
+
+def loop_sequence(num_scans=96, radius=5.0, seed=0):
+    """Simulated loop drive inside a large room with pillars."""
+    world = synthetic.BoxWorld()
+    world.add_shell([-14.0, -8.0, -1.5], [14.0, 22.0, 3.0])
+    rng = np.random.default_rng(seed)
+    for _ in range(10):
+        cx, cy = rng.uniform(-11, 11), rng.uniform(-5, 19)
+        # keep pillars off the circular path (radius 6 centered at (0, 6))
+        if abs(np.hypot(cx, cy - radius) - radius) < 1.5:
+            continue
+        world.add_obstacle([cx - 0.3, cy - 0.3, -1.5], [cx + 0.3, cy + 0.3, 2.0])
+    gt = synthetic.make_loop_trajectory(num_scans, radius=radius)
+    scans, valids = [], []
+    for i in range(num_scans):
+        pts, valid = synthetic.simulate_scan(
+            world, gt[i], azimuth_steps=360, noise=0.004, seed=seed + i
+        )
+        scans.append(pts)
+        valids.append(valid)
+    stamps = np.arange(num_scans) / 10.0
+    return Sequence(
+        scans=np.stack(scans), scan_valid=np.stack(valids),
+        stamps=stamps, gt_poses=gt,
+    )
+
+
+@pytest.mark.slow
+def test_full_slam_loop_with_backend():
+    seq = loop_sequence(num_scans=96)
+    cfg = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=800,
+        translation_threshold_closed_space_kf=1.0,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(map_capacity=16384, keyframe_capacity=1024, map_voxel_leaf=0.1),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    rstep = make_replay_step(cfg)
+    state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    # fitness gate at the scene's noise floor: 0.004*range noise at up to
+    # 30 m range plus adaptive-leaf sparsity puts honest loop fits ~0.04-0.1
+    backend = PoseGraphBackend(
+        loop_distance=2.5, min_index_gap=8, loop_fitness_max=0.12
+    )
+
+    poses = []
+    for i in range(len(seq)):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        state, out = rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        pose = np.asarray(out.pose)
+        poses.append(pose)
+        if bool(out.keyframe_inserted):
+            # store the scan at a FIXED leaf for loop verification —
+            # adaptive leaves vary scan to scan (0.2 vs 1.3 here) and
+            # registering clouds of mismatched resolution slides badly
+            raw = PointCloud.from_points(
+                xyz, capacity=cfg.raw_scan_capacity, mask=jnp.asarray(mask)
+            )
+            kf_cloud = pipeline.preprocess(raw, jnp.asarray(0.5), cfg)
+            backend.add_keyframe(float(seq.stamps[i]), pose, cloud=kf_cloud)
+    poses = np.stack(poses)
+
+    # loop closure + sharded optimization
+    added = backend.try_close_loops()
+    assert added >= 1, "no loop closure found on a closed loop"
+    mesh = mesh_lib.make_mesh(8, map_parallel=4)
+    backend.optimize(iterations=8, mesh=mesh)
+
+    corrected = backend.correction_for_latest()
+    # push back into the front end (the reference's SetIntegratedEstimate)
+    lstate = localization.set_integrated_estimate(
+        state.loc, jnp.asarray(corrected, dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(lstate.integrated), corrected, atol=1e-5)
+
+    # optimized keyframe poses should be at least as good as raw ones
+    kf_stamps = [k.stamp for k in backend.keyframes]
+    idx = [int(round(s * 10)) for s in kf_stamps]
+    gt_kf = seq.gt_poses[idx][:, :3, 3]
+    raw_kf = np.stack([poses[i][:3, 3] for i in idx])
+    opt_kf = np.stack([k.pose[:3, 3] for k in backend.keyframes])
+    err_raw = np.linalg.norm(raw_kf - gt_kf, axis=1).max()
+    err_opt = np.linalg.norm(opt_kf - gt_kf, axis=1).max()
+    assert err_opt <= err_raw * 1.5 + 0.05, (err_raw, err_opt)
