@@ -22,6 +22,14 @@ from locus_tpu.core.cloud import PointCloud, PAD_COORD
 _COORD_OFFSET = 1 << 19
 _COORD_MAX = (1 << 20) - 1
 
+# Packed-key variant for the downsample sort: 15 bits per axis for x/y
+# (packed into one int32) halves the number of stable-sort passes. Range
+# leaf*2^15 around the origin (163 m at the 0.01 minimum leaf) covers any
+# single scan; clamped coords merge at the boundary exactly like the
+# 20-bit clip above.
+_PACK_OFFSET = 1 << 14
+_PACK_MAX = (1 << 15) - 1
+
 
 def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, leaf) -> jnp.ndarray:
     """(N,3) points -> (N,3) int32 voxel coords; invalid lanes get the max
@@ -41,10 +49,17 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
     """
     n = cloud.capacity
     cap = capacity if capacity is not None else n
-    ijk = voxel_keys(cloud.xyz, cloud.mask, leaf)
-
-    # Lexicographic sort by (x, y, z); invalid last.
-    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
+    # packed 2-key sort: (x<<15 | y, z) — one fewer stable-sort pass
+    ij = jnp.floor(cloud.xyz[:, :2] / leaf).astype(jnp.int32) + _PACK_OFFSET
+    ij = jnp.clip(ij, 0, _PACK_MAX)
+    kz = jnp.floor(cloud.xyz[:, 2] / leaf).astype(jnp.int32) + _PACK_OFFSET
+    kz = jnp.clip(kz, 0, _PACK_MAX)
+    key_xy = ij[:, 0] * (_PACK_MAX + 1) + ij[:, 1]
+    big = (_PACK_MAX + 1) * (_PACK_MAX + 1)
+    key_xy = jnp.where(cloud.mask, key_xy, big)
+    kz = jnp.where(cloud.mask, kz, _PACK_MAX + 1)
+    order = jnp.lexsort((kz, key_xy))
+    ijk = jnp.stack([key_xy, kz], axis=1)
     ijk_s = ijk[order]
     xyz_s = jnp.where(cloud.mask[order][:, None], cloud.xyz[order], 0.0)
     nrm_s = cloud.normals[order]

@@ -275,8 +275,9 @@ def _gauss_newton_step_comps(p_cur, q, M, w, lm_lambda):
     H = H + lm_lambda * jnp.eye(6, dtype=H.dtype) * jnp.maximum(
         jnp.trace(H) / 6.0, 1.0
     ) * 1e-6
-    dx = -jnp.linalg.solve(H, g)
-    return dx
+    from locus_tpu.utils.linalg import chol_solve
+
+    return -chol_solve(H, g)
 
 
 # ---------------------------------------------------------------------------

@@ -11,6 +11,38 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def chol_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = g for small static-size SPD H via fully unrolled
+    Cholesky + substitution — a few dozen fused scalar ops, far lighter
+    than the general LU `jnp.linalg.solve` lowers to inside hot loops."""
+    n = H.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        for j in range(i + 1):
+            s = H[i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            if i == j:
+                L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+            else:
+                L[i][j] = s / L[j][j]
+    # forward: L y = g
+    y = [None] * n
+    for i in range(n):
+        s = g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward: L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x)
+
+
 def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
     """Symmetric NxN (N small, static) eigendecomposition via cyclic
     Jacobi rotations. Returns (eigvals ascending (N,), eigvecs (N,N)
