@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--seq", default=None)
     ap.add_argument("--profile", default=None)
     ap.add_argument("--platform", default=None)
+    ap.add_argument(
+        "--trace", action="store_true",
+        help="capture a jax profiler trace of the replay into <out>/trace",
+    )
     args = ap.parse_args()
 
     import jax
@@ -60,9 +64,17 @@ def main():
         else make_tunnel_sequence(num_scans=args.scans, azimuth_steps=900)
     )
 
-    poses, outputs, report, final_state = run_sequence(
-        seq, cfg, max_scans=args.scans, return_state=True
-    )
+    if args.trace:
+        import jax.profiler
+
+        with jax.profiler.trace(os.path.join(args.out, "trace")):
+            poses, outputs, report, final_state = run_sequence(
+                seq, cfg, max_scans=args.scans, return_state=True
+            )
+    else:
+        poses, outputs, report, final_state = run_sequence(
+            seq, cfg, max_scans=args.scans, return_state=True
+        )
     n = poses.shape[0]
 
     # odometry.csv
