@@ -62,15 +62,21 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray):
 
 
 def insert_keyframe(
-    state: MapState, keyframe: PointCloud, cfg: MapperConfig
+    state: MapState, keyframe: PointCloud, cfg: MapperConfig,
+    nearest_d2: jnp.ndarray | None = None,
 ) -> MapState:
     """Insert a world-frame keyframe cloud (mapper_->InsertPoints,
     Locus.cc:523-529). Novelty gate: keep only points farther than
     `map_voxel_leaf` from every stored point; write them at the ring
-    pointer (overwriting the oldest entries once full)."""
+    pointer (overwriting the oldest entries once full).
+
+    `nearest_d2` optionally supplies precomputed per-point distances to
+    the map (the pipeline reuses the ApproxNearestNeighbors result from
+    the same scan — saves a full map 1-NN pass)."""
     leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
-    d2, _ = _map_nearest(state, keyframe.xyz)
-    novel = keyframe.mask & (d2 > leaf2)
+    if nearest_d2 is None:
+        nearest_d2, _ = _map_nearest(state, keyframe.xyz)
+    novel = keyframe.mask & (nearest_d2 > leaf2)
 
     kf = keyframe.with_mask(novel).compact()     # novel points to the front
     k = kf.capacity
@@ -122,20 +128,25 @@ def refresh_msw(
 
 
 def approx_nearest_neighbors(
-    state: MapState, query: PointCloud
-) -> PointCloud:
+    state: MapState, query: PointCloud, return_d2: bool = False
+):
     """mapper_->ApproxNearestNeighbors (Locus.cc:479): for each query
     point (world frame) return its nearest stored map point — the
     'submap' reference cloud consumed by scan-to-submap GICP. Shape
-    matches the query; queries with no valid map point are masked."""
+    matches the query; queries with no valid map point are masked.
+    With return_d2, also returns the squared distances (reused by the
+    keyframe-insertion novelty gate)."""
     d2, idx = _map_nearest(state, query.xyz)
     mask = query.mask & state.cloud.mask[idx]
-    return PointCloud(
+    out = PointCloud(
         jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),
         jnp.where(mask[:, None], state.cloud.normals[idx], 0.0),
         jnp.where(mask, state.cloud.intensity[idx], 0.0),
         mask,
     )
+    if return_d2:
+        return out, jnp.where(mask, d2, jnp.inf)
+    return out
 
 
 def map_size(state: MapState) -> jnp.ndarray:

@@ -212,7 +212,7 @@ def step(
     # -- scan-to-submap -----------------------------------------------------
     loc0 = localization.motion_update(state.loc, odo.state.incremental)
     fixed = localization.transform_points_to_fixed_frame(loc0, scan)
-    neighbors = km.approx_nearest_neighbors(state.map, fixed)
+    neighbors, ann_d2 = km.approx_nearest_neighbors(state.map, fixed, return_d2=True)
     neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
     meas = localization.measurement_update(
         loc0, scan, neighbors_sensor, cfg=cfg.localization, flat_ground=flat
@@ -261,8 +261,11 @@ def step(
 
     world_scan = scan.transform(pose)
 
+    # Novelty distances reused from the ANN pass: the query pose there is
+    # the prediction, off from the final pose by the measurement
+    # correction (~cm), which only jitters the leaf-boundary decision.
     def do_insert(mp):
-        return km.insert_keyframe(mp, world_scan, cfg.mapper)
+        return km.insert_keyframe(mp, world_scan, cfg.mapper, nearest_d2=ann_d2)
 
     new_map = lax.cond(want_keyframe, do_insert, lambda mp: mp, state.map)
     last_kf_pose = jnp.where(want_keyframe, pose, state.last_keyframe_pose)
