@@ -57,7 +57,10 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray):
     if jax.default_backend() != "cpu" and query_xyz.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas_pre
 
-        return nearest_pallas_pre(query_xyz, state.nn_aug, state.cloud.xyz)
+        return nearest_pallas_pre(
+            query_xyz, state.nn_aug, state.cloud.xyz,
+            target_mask=state.cloud.mask,
+        )
     return neighbors.nearest(query_xyz, state.cloud.xyz)
 
 

@@ -40,29 +40,38 @@ BT = 2048     # target chunk streamed inside the kernel
 AUG = 8       # augmented K dim
 
 
-def _nn_kernel(q_ref, t_ref, d_ref, i_ref):
-    """q_ref: (BQ, AUG); t_ref: (AUG, M) resident in VMEM; outputs (BQ, 1)."""
+def _nn_kernel(cnt_ref, q_ref, t_ref, d_ref, i_ref):
+    """cnt_ref: (M//BT,) SMEM per-chunk occupancy; q_ref: (BQ, AUG);
+    t_ref: (AUG, M) resident in VMEM; outputs (BQ, 1).
+
+    Chunks with zero valid points are skipped entirely — the map store
+    is provisioned for the worst case (131k) but the MSW window often
+    occupies a small contiguous prefix of the ring buffer.
+    """
     m = t_ref.shape[1]
     num_chunks = m // BT
     q_f32 = q_ref[:]
 
     def body(c, carry):
-        best_d, best_i = carry                               # (BQ,128) each
-        t_chunk = t_ref[:, pl.ds(c * BT, BT)]                # (AUG, BT)
-        scores = jnp.dot(
-            q_f32, t_chunk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        base = c * BT
-        for s in range(BT // 128):
-            sub = scores[:, s * 128 : (s + 1) * 128]
-            idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
-                base + s * 128
+        def compute(carry):
+            best_d, best_i = carry                           # (BQ,128) each
+            t_chunk = t_ref[:, pl.ds(c * BT, BT)]            # (AUG, BT)
+            scores = jnp.dot(
+                q_f32, t_chunk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            take = sub < best_d
-            best_d = jnp.where(take, sub, best_d)
-            best_i = jnp.where(take, idx, best_i)
-        return best_d, best_i
+            base = c * BT
+            for s in range(BT // 128):
+                sub = scores[:, s * 128 : (s + 1) * 128]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
+                    base + s * 128
+                )
+                take = sub < best_d
+                best_d = jnp.where(take, sub, best_d)
+                best_i = jnp.where(take, idx, best_i)
+            return best_d, best_i
+
+        return jax.lax.cond(cnt_ref[c] > 0, compute, lambda x: x, carry)
 
     init = (
         jnp.full((BQ, 128), jnp.inf, jnp.float32),
@@ -109,14 +118,17 @@ def update_nn_target(
     return t_aug.at[:, safe_idx].set(cols, mode="drop")
 
 
-def _run_kernel(q, t_aug, interpret):
+def _run_kernel(q, t_aug, interpret, chunk_counts=None):
     n_pad = q.shape[0]
     grid = (n_pad // BQ,)
     m_pad = t_aug.shape[1]
+    if chunk_counts is None:
+        chunk_counts = jnp.full((m_pad // BT,), 1, jnp.int32)
     return pl.pallas_call(
         _nn_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -129,7 +141,7 @@ def _run_kernel(q, t_aug, interpret):
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(q, t_aug)
+    )(chunk_counts, q, t_aug)
 
 
 def _pack_query(query: jnp.ndarray) -> jnp.ndarray:
@@ -159,13 +171,22 @@ def nearest_pallas_pre(
     query: jnp.ndarray,
     t_aug: jnp.ndarray,
     target: jnp.ndarray,
+    target_mask: jnp.ndarray | None = None,
     interpret: bool = False,
 ):
     """1-NN against a PREBUILT augmented operand (the cached map path).
-    `target` (M,3) is only used for the exact-distance recompute."""
+    `target` (M,3) is only used for the exact-distance recompute.
+    `target_mask` enables occupancy-based chunk skipping."""
     n, m = query.shape[0], target.shape[0]
     q = _pack_query(query)
-    d, i = _run_kernel(q, t_aug, interpret)
+    counts = None
+    if target_mask is not None:
+        m_pad = t_aug.shape[1]
+        padded = jnp.zeros((m_pad,), jnp.int32).at[:m].set(
+            target_mask.astype(jnp.int32)
+        )
+        counts = jnp.sum(padded.reshape(m_pad // BT, BT), axis=1)
+    d, i = _run_kernel(q, t_aug, interpret, chunk_counts=counts)
     idx = jnp.clip(i[:n, 0], 0, m - 1)
     diff = query - target[idx]
     d2 = jnp.sum(diff * diff, axis=1)
