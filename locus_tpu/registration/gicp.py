@@ -284,34 +284,6 @@ def _gauss_newton_step_comps(p_cur, q, M, w, lm_lambda):
 # The registration kernel
 # ---------------------------------------------------------------------------
 
-def _gauss_newton_step(p_cur, q, M, w, lm_lambda):
-    """One weighted GN step for min sum_i w_i r^T M r, r = exp(xi) p - q.
-
-    Returns the 6-twist update. Jacobian of r wrt xi=[v,w] at xi=0:
-    J_i = [I | -skew(p_i)] (3,6).
-    """
-    r = p_cur - q                               # (N,3)
-    P = se3.skew(p_cur)                         # (N,3,3)
-    Mw = M * w[:, None, None]
-    # J^T M J blocks; J = [I  -P]
-    MP = jnp.einsum("nij,njk->nik", Mw, P)      # (N,3,3) = M @ skew(p)
-    H_tt = jnp.sum(Mw, axis=0)                  # Σ M
-    H_tw = -jnp.sum(MP, axis=0)                 # Σ -M P
-    PtMP = jnp.einsum("nji,njk->nik", P, MP)    # P^T M P
-    H_ww = jnp.sum(PtMP, axis=0)
-    Mr = jnp.einsum("nij,nj->ni", Mw, r)        # (N,3)
-    g_t = jnp.sum(Mr, axis=0)
-    g_w = -jnp.sum(jnp.einsum("nji,nj->ni", P, Mr), axis=0)  # -P^T M r
-
-    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
-    g = jnp.concatenate([g_t, g_w])
-    H = H + lm_lambda * jnp.eye(6, dtype=H.dtype) * jnp.maximum(
-        jnp.trace(H) / 6.0, 1.0
-    ) * 1e-6
-    dx = -jnp.linalg.solve(H, g)
-    return dx
-
-
 def _scaled_delta(T_prev: jnp.ndarray, T_new: jnp.ndarray, cfg: RegistrationConfig):
     """Reference convergence metric (gicp.hpp:526-541): elementwise |ΔT|
     scaled by 1/rotation_epsilon on the 3x3 block and 1/tf_epsilon
