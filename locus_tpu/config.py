@@ -114,6 +114,8 @@ class MapperConfig:
     translational_velocity_threshold: float = 0.1
     velocity_buffer_size: int = 10
     map_voxel_leaf: float = 0.15       # map store dedup resolution
+    ann_search_radius: float = 2.0     # map 1-NN search bound (hits beyond
+    # this are masked; consumers gate at corr_dist/leaf scales anyway)
     map_capacity: int = 1 << 17        # padded map point budget (131072)
     keyframe_capacity: int = 4096      # padded points per inserted keyframe
     num_shards: int = 1                # map point-axis shards (mesh axis "map")

@@ -49,19 +49,21 @@ def init_map(cfg: MapperConfig) -> MapState:
     )
 
 
-def _map_nearest(state: MapState, query_xyz: jnp.ndarray):
-    """1-NN into the map store: cached-operand Pallas path on TPU, plain
-    XLA on CPU."""
+def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
+    """1-NN into the map store, bounded to `radius` (hits beyond it come
+    back as d2=inf — every consumer gates far hits anyway): bbox-pruned
+    cached-operand Pallas path on TPU, plain XLA on CPU."""
     import jax
 
     if jax.default_backend() != "cpu" and query_xyz.shape[0] >= 128:
-        from locus_tpu.ops.pallas.nn import nearest_pallas_pre
+        from locus_tpu.ops.pallas.nn import nearest_pallas_bounded
 
-        return nearest_pallas_pre(
+        return nearest_pallas_bounded(
             query_xyz, state.nn_aug, state.cloud.xyz,
-            target_mask=state.cloud.mask,
+            target_mask=state.cloud.mask, radius=radius,
         )
-    return neighbors.nearest(query_xyz, state.cloud.xyz)
+    d2, idx = neighbors.nearest(query_xyz, state.cloud.xyz)
+    return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
 
 
 def insert_keyframe(
@@ -78,7 +80,7 @@ def insert_keyframe(
     the same scan — saves a full map 1-NN pass)."""
     leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
     if nearest_d2 is None:
-        nearest_d2, _ = _map_nearest(state, keyframe.xyz)
+        nearest_d2, _ = _map_nearest(state, keyframe.xyz, cfg.ann_search_radius)
     novel = keyframe.mask & (nearest_d2 > leaf2)
 
     kf = keyframe.with_mask(novel).compact()     # novel points to the front
@@ -131,7 +133,8 @@ def refresh_msw(
 
 
 def approx_nearest_neighbors(
-    state: MapState, query: PointCloud, return_d2: bool = False
+    state: MapState, query: PointCloud, return_d2: bool = False,
+    radius: float = 2.0,
 ):
     """mapper_->ApproxNearestNeighbors (Locus.cc:479): for each query
     point (world frame) return its nearest stored map point — the
@@ -139,8 +142,8 @@ def approx_nearest_neighbors(
     matches the query; queries with no valid map point are masked.
     With return_d2, also returns the squared distances (reused by the
     keyframe-insertion novelty gate)."""
-    d2, idx = _map_nearest(state, query.xyz)
-    mask = query.mask & state.cloud.mask[idx]
+    d2, idx = _map_nearest(state, query.xyz, radius)
+    mask = query.mask & state.cloud.mask[idx] & jnp.isfinite(d2)
     out = PointCloud(
         jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),
         jnp.where(mask[:, None], state.cloud.normals[idx], 0.0),

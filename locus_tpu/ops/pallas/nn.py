@@ -166,6 +166,135 @@ def nearest_pallas(query: jnp.ndarray, target: jnp.ndarray, interpret: bool = Fa
     return d2, idx
 
 
+def _nn_kernel_pruned(skip_ref, q_ref, t_ref, d_ref, i_ref):
+    """Like _nn_kernel but with a per-(query-tile, chunk) skip matrix
+    (SMEM, flattened): chunks whose bounding box lies beyond the search
+    radius of the tile's bounding box are never touched — neither DMA'd
+    compute nor VPU updates. With spatially coherent storage (scan order
+    is voxel-sorted; keyframes insert contiguously) each tile visits only
+    a handful of chunks regardless of map occupancy."""
+    m = t_ref.shape[1]
+    num_chunks = m // BT
+    g = pl.program_id(0)
+    q_f32 = q_ref[:]
+
+    def body(c, carry):
+        def compute(carry):
+            best_d, best_i = carry
+            t_chunk = t_ref[:, pl.ds(c * BT, BT)]
+            scores = jnp.dot(
+                q_f32, t_chunk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            base = c * BT
+            for s in range(BT // 128):
+                sub = scores[:, s * 128 : (s + 1) * 128]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
+                    base + s * 128
+                )
+                take = sub < best_d
+                best_d = jnp.where(take, sub, best_d)
+                best_i = jnp.where(take, idx, best_i)
+            return best_d, best_i
+
+        visit = skip_ref[g * num_chunks + c] == 0
+        return jax.lax.cond(visit, compute, lambda x: x, carry)
+
+    init = (
+        jnp.full((BQ, 128), jnp.inf, jnp.float32),
+        jnp.zeros((BQ, 128), jnp.int32),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, num_chunks, body, init)
+    lane = jnp.argmin(best_d, axis=1)
+    d_ref[:] = jnp.min(best_d, axis=1)[:, None]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
+    onehot = lane_iota == lane[:, None]
+    i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def nearest_pallas_bounded(
+    query: jnp.ndarray,
+    t_aug: jnp.ndarray,
+    target: jnp.ndarray,
+    target_mask: jnp.ndarray,
+    radius: float = 2.0,
+    interpret: bool = False,
+):
+    """Radius-bounded 1-NN with bounding-box chunk pruning.
+
+    Correct within `radius`: queries whose true nearest neighbor is
+    farther get d2 = +inf (the map-ANN consumers gate far hits anyway —
+    GICP corr_dist, the novelty leaf — so bounding the search loses
+    nothing while skipping almost all chunks in dense maps too).
+    """
+    n, m = query.shape[0], target.shape[0]
+    m_pad = t_aug.shape[1]
+    num_chunks = m_pad // BT
+    n_pad = -(-n // BQ) * BQ
+    num_tiles = n_pad // BQ
+    q = _pack_query(query)
+
+    # per-chunk bounding boxes over valid points
+    tm = target_mask
+    if m_pad > m:
+        target_p = jnp.pad(target, ((0, m_pad - m), (0, 0)))
+        tm = jnp.pad(tm, (0, m_pad - m))
+    else:
+        target_p = target
+    tc = target_p.reshape(num_chunks, BT, 3)
+    mc = tm.reshape(num_chunks, BT)
+    big = 1e9
+    c_min = jnp.min(jnp.where(mc[..., None], tc, big), axis=1)    # (C,3)
+    c_max = jnp.max(jnp.where(mc[..., None], tc, -big), axis=1)
+    c_empty = ~jnp.any(mc, axis=1)
+
+    # per-tile query bounding boxes over valid (non-sentinel) queries
+    q_valid = jnp.all(jnp.abs(query) < 1e7, axis=1)
+    qp = jnp.pad(query, ((0, n_pad - n), (0, 0)))
+    qv = jnp.pad(q_valid, (0, n_pad - n))
+    qt = qp.reshape(num_tiles, BQ, 3)
+    qm = qv.reshape(num_tiles, BQ)
+    t_min = jnp.min(jnp.where(qm[..., None], qt, big), axis=1)    # (G,3)
+    t_max = jnp.max(jnp.where(qm[..., None], qt, -big), axis=1)
+
+    # box-to-box distance: per-axis gap, clamped at 0
+    gap = jnp.maximum(
+        jnp.maximum(c_min[None, :, :] - t_max[:, None, :],
+                    t_min[:, None, :] - c_max[None, :, :]),
+        0.0,
+    )                                                              # (G,C,3)
+    d2_boxes = jnp.sum(gap * gap, axis=-1)
+    skip = (d2_boxes > radius * radius) | c_empty[None, :]
+    skip = skip.astype(jnp.int32).reshape(-1)
+
+    grid = (num_tiles,)
+    d, i = pl.pallas_call(
+        _nn_kernel_pruned,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(skip, q, t_aug)
+
+    idx = jnp.clip(i[:n, 0], 0, m - 1)
+    diff = query - target[idx]
+    d2 = jnp.sum(diff * diff, axis=1)
+    d2 = jnp.where(d2 <= radius * radius, d2, jnp.inf)
+    return d2, idx
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_pallas_pre(
     query: jnp.ndarray,

@@ -212,7 +212,9 @@ def step(
     # -- scan-to-submap -----------------------------------------------------
     loc0 = localization.motion_update(state.loc, odo.state.incremental)
     fixed = localization.transform_points_to_fixed_frame(loc0, scan)
-    neighbors, ann_d2 = km.approx_nearest_neighbors(state.map, fixed, return_d2=True)
+    neighbors, ann_d2 = km.approx_nearest_neighbors(
+        state.map, fixed, return_d2=True, radius=cfg.mapper.ann_search_radius
+    )
     neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
     meas = localization.measurement_update(
         loc0, scan, neighbors_sensor, cfg=cfg.localization, flat_ground=flat
