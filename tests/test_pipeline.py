@@ -138,3 +138,54 @@ def test_drop_rate_statistics(tunnel_seq):
         )
     assert int(state.stats.dropped_msgs) == 2
     assert int(state.stats.scan_count) == 3
+
+
+def test_empty_scan_robustness(tunnel_seq):
+    """Total sensor dropout: an empty scan must not move the pose or
+    corrupt state (NaN-free), and recovery on the next scan works."""
+    import jax
+    from locus_tpu.runner import make_replay_step, pack_scan
+    from locus_tpu.io.dataset import sensor_windows_for_scan
+    from locus_tpu import pipeline as pl_mod
+
+    cfg = small_cfg(fusion=FusionConfig(data_integration_mode=0))
+    rstep = make_replay_step(cfg)
+    state = pl_mod.init_state(
+        cfg, initial_pose=jnp.asarray(tunnel_seq.gt_poses[0], jnp.float32)
+    )
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+
+    def feed(i, empty=False):
+        nonlocal state
+        xyz, mask = pack_scan(
+            tunnel_seq.scans[i], tunnel_seq.scan_valid[i], cfg.raw_scan_capacity
+        )
+        if empty:
+            mask = np.zeros_like(mask)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(tunnel_seq, i)
+        state, out = rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(tunnel_seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        return np.asarray(out.pose)
+
+    p0 = feed(0)
+    p1 = feed(1)
+    p_empty = feed(2, empty=True)
+    assert np.all(np.isfinite(p_empty))
+    np.testing.assert_allclose(p_empty, p1, atol=1e-4)  # no motion
+    # After an unrecovered jump the absolute offset persists (beyond the
+    # scan-to-map corr gate the along-tunnel error is unobservable — the
+    # reference behaves identically; loop closure is the cure), but
+    # RELATIVE tracking must recover immediately.
+    ps = [feed(i) for i in range(3, 8)]
+    for p in ps:
+        assert np.all(np.isfinite(p))
+    d_est = np.linalg.norm(ps[-1][:3, 3] - ps[1][:3, 3])
+    d_gt = np.linalg.norm(
+        tunnel_seq.gt_poses[7][:3, 3] - tunnel_seq.gt_poses[4][:3, 3]
+    )
+    np.testing.assert_allclose(d_est, d_gt, atol=0.15)
