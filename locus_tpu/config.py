@@ -117,7 +117,12 @@ class MapperConfig:
     ann_search_radius: float = 2.0     # map 1-NN search bound (hits beyond
     # this are masked; consumers gate at corr_dist/leaf scales anyway)
     map_capacity: int = 1 << 17        # padded map point budget (131072)
-    keyframe_capacity: int = 4096      # padded points per inserted keyframe
+    keyframe_capacity: int = 8192      # padded points per inserted keyframe
+    # Insert keyframes at map resolution from the raw scan (the reference
+    # inserts the UNfiltered cloud into its 0.001-leaf octree,
+    # Locus.cc:514-543) instead of the adaptively-coarsened input scan —
+    # map density drives scan-to-submap accuracy.
+    keyframe_at_map_resolution: bool = True
     num_shards: int = 1                # map point-axis shards (mesh axis "map")
 
 

@@ -88,11 +88,20 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
         jnp.where(valid, ci, 0.0),
         valid,
     )
-    # Segments are already front-packed (cumsum ids start at 0), so a plain
-    # truncation-compact keeps all valid voxels as long as cap >= #voxels.
+    # Segments are front-packed (cumsum ids start at 0). When the voxel
+    # count exceeds `cap`, a plain prefix truncation would keep a
+    # SPATIALLY BIASED subset (segments are in sorted-key order = lowest
+    # coordinates first); stride-sample the valid range instead so the
+    # kept voxels cover the whole scene.
     if cap != n:
+        num_valid = jnp.sum(valid.astype(jnp.int32))
+        ar = jnp.arange(cap, dtype=jnp.int32)
+        strided = (
+            ar.astype(jnp.float32) * (num_valid.astype(jnp.float32) / cap)
+        ).astype(jnp.int32)
+        take = jnp.where(num_valid <= cap, ar, jnp.minimum(strided, n - 1))
         out = PointCloud(
-            out.xyz[:cap], out.normals[:cap], out.intensity[:cap], out.mask[:cap]
+            out.xyz[take], out.normals[take], out.intensity[take], out.mask[take]
         )
     return out
 

@@ -261,13 +261,39 @@ def step(
     is_first = state.stats.scan_count == 0
     want_keyframe = (is_first | moved) & bool(cfg.b_add_keyframes_enabled)
 
-    world_scan = scan.transform(pose)
+    if cfg.mapper.keyframe_at_map_resolution:
+        # Dense keyframe from the raw scan at the map's own resolution
+        # (reference inserts the unfiltered cloud into its fine octree,
+        # Locus.cc:514-543): map density drives scan-to-submap accuracy,
+        # and the adaptive input leaf (often ~1 m in open space) must not
+        # thin the map. Built INSIDE the cond so only keyframe scans pay.
+        def do_insert(mp):
+            kf = raw_scan
+            if cfg.filtering.body_filter:
+                kf = filters.crop_box(
+                    kf, cfg.filtering.box_min, cfg.filtering.box_max,
+                    negative=True,
+                )
+            kf = voxel.voxel_downsample(
+                kf, cfg.mapper.map_voxel_leaf,
+                capacity=cfg.mapper.keyframe_capacity,
+            )
+            kf = normals_op.estimate_normals_radius(
+                kf,
+                radius=cfg.filtering.normals_radius_scale
+                * cfg.mapper.map_voxel_leaf,
+            )
+            return km.insert_keyframe(mp, kf.transform(pose), cfg.mapper)
+    else:
+        world_scan = scan.transform(pose)
 
-    # Novelty distances reused from the ANN pass: the query pose there is
-    # the prediction, off from the final pose by the measurement
-    # correction (~cm), which only jitters the leaf-boundary decision.
-    def do_insert(mp):
-        return km.insert_keyframe(mp, world_scan, cfg.mapper, nearest_d2=ann_d2)
+        # Novelty distances reused from the ANN pass: the query pose there
+        # is the prediction, off from the final pose by the measurement
+        # correction (~cm), which only jitters the leaf-boundary decision.
+        def do_insert(mp):
+            return km.insert_keyframe(
+                mp, world_scan, cfg.mapper, nearest_d2=ann_d2
+            )
 
     new_map = lax.cond(want_keyframe, do_insert, lambda mp: mp, state.map)
     last_kf_pose = jnp.where(want_keyframe, pose, state.last_keyframe_pose)
