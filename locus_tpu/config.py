@@ -118,11 +118,15 @@ class MapperConfig:
     # this are masked; consumers gate at corr_dist/leaf scales anyway)
     map_capacity: int = 1 << 17        # padded map point budget (131072)
     keyframe_capacity: int = 8192      # padded points per inserted keyframe
-    # Insert keyframes at map resolution from the raw scan (the reference
-    # inserts the UNfiltered cloud into its 0.001-leaf octree,
-    # Locus.cc:514-543) instead of the adaptively-coarsened input scan —
-    # map density drives scan-to-submap accuracy.
-    keyframe_at_map_resolution: bool = True
+    # Insert keyframes at map resolution from the raw scan instead of the
+    # adaptively-coarsened input scan. Default OFF: long-run evaluation
+    # shows matched scan/map resolution tracks best (coarse-scan cell
+    # centroids sit off-surface; registering them against a finer map
+    # biases the corrections — ATE 1.5 m matched vs 4.1/7.5/17.2 m for
+    # 0.15/0.10/0.05-leaf dense maps over a 168 m run). The reference
+    # gets away with raw maps because its octree stores raw points, not
+    # centroid lattices.
+    keyframe_at_map_resolution: bool = False
     num_shards: int = 1                # map point-axis shards (mesh axis "map")
 
 
