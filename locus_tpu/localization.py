@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from locus_tpu.config import LocalizationConfig, RegistrationConfig
 from locus_tpu.core.cloud import PointCloud
 from locus_tpu.geometry import se3
-from locus_tpu.registration.gicp import gicp_register, GICPResult
+from locus_tpu.registration.gicp import GICPResult
+from locus_tpu.registration.registry import make_registrar
 
 
 class LocalizationState(NamedTuple):
@@ -172,7 +173,8 @@ def measurement_update(
     """Align `query` (sensor frame) to `reference` (submap neighbors in the
     sensor frame) and fold the correction into the pose (.cc:291-427)."""
     rcfg = cfg.registration
-    icp = gicp_register(query, reference, cfg=rcfg)
+    align = make_registrar(rcfg)  # gicp | ndt
+    icp = align(query, reference)
 
     T = icp.transform
     if flat_ground:

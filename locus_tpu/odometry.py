@@ -19,7 +19,8 @@ from jax import lax
 from locus_tpu.config import RegistrationConfig
 from locus_tpu.core.cloud import PointCloud
 from locus_tpu.geometry import se3
-from locus_tpu.registration.gicp import gicp_register, GICPResult
+from locus_tpu.registration.gicp import GICPResult
+from locus_tpu.registration.registry import make_registrar
 
 
 class OdometryState(NamedTuple):
@@ -84,7 +85,8 @@ def update(
     (PointCloudOdometry.cc:252-276)."""
     guess = prior if prior is not None else se3.identity()
 
-    icp = gicp_register(scan, state.reference, guess=guess, cfg=cfg)
+    align = make_registrar(cfg)  # gicp | ndt (registration_settings.h)
+    icp = align(scan, state.reference, guess=guess)
 
     T = _maybe_flat_ground(icp.transform, flat_ground)
     accepted = _gate(T, cfg)
