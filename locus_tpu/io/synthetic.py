@@ -82,6 +82,54 @@ class BoxWorld:
         return self
 
     @staticmethod
+    def urban(length: float = 80.0):
+        """Corridor with side rooms and doorways (urban-circuit analog)."""
+        w = BoxWorld()
+        w.add_shell([-3.0, -3.0, -1.5], [length + 3.0, 3.0, 2.5])
+        rng = np.random.default_rng(21)
+        x = 6.0
+        side = 1.0
+        while x < length:
+            # side room connected by an implied doorway (overlapping shells)
+            depth = rng.uniform(3.0, 6.0)
+            w.add_shell(
+                [x, side * 2.9, -1.5], [x + 4.0, side * (2.9 + depth), 2.5]
+            ) if side > 0 else w.add_shell(
+                [x, -(2.9 + depth), -1.5], [x + 4.0, -2.9, 2.5]
+            )
+            # furniture-ish obstacles in the corridor
+            cx = x + rng.uniform(0.5, 3.0)
+            cy = rng.uniform(-1.8, 1.8)
+            w.add_obstacle([cx - 0.25, cy - 0.25, -1.5], [cx + 0.25, cy + 0.25, 0.0])
+            side = -side
+            x += 8.0
+        return w
+
+    @staticmethod
+    def cave(length: float = 80.0, seed: int = 5):
+        """Winding irregular passage assembled from offset overlapping
+        shells (cave-circuit analog: no long straight planes)."""
+        w = BoxWorld()
+        rng = np.random.default_rng(seed)
+        x, y = -4.0, 0.0
+        while x < length:
+            seg = rng.uniform(6.0, 10.0)
+            hw = rng.uniform(2.0, 3.5)      # half width varies
+            hh = rng.uniform(1.2, 2.2)
+            y2 = y + rng.uniform(-2.5, 2.5)
+            lo_y, hi_y = min(y, y2) - hw, max(y, y2) + hw
+            w.add_shell([x - 1.0, lo_y, -hh], [x + seg + 1.0, hi_y, hh])
+            # rubble
+            for _ in range(2):
+                cx = x + rng.uniform(0, seg)
+                cy = rng.uniform(lo_y + 0.5, hi_y - 0.5)
+                s = rng.uniform(0.2, 0.5)
+                w.add_obstacle([cx - s, cy - s, -hh], [cx + s, cy + s, -hh + rng.uniform(0.3, 1.0)])
+            x += seg
+            y = y2
+        return w
+
+    @staticmethod
     def default_tunnel(length: float = 120.0):
         """A long tunnel with side rooms and pillars (subT-flavored)."""
         w = BoxWorld()

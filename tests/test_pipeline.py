@@ -223,3 +223,18 @@ def test_ndt_pipeline_e2e(tunnel_seq):
     # default is GICP for the same reason; assert it tracks, not that it
     # matches GICP's ATE
     assert ate < 0.4, ate
+
+
+@pytest.mark.parametrize("world", ["urban", "cave"])
+def test_world_variants(world):
+    """Replay regression across environment types (urban/cave analogs of
+    the nebula dataset matrix; tunnel is covered by the other tests)."""
+    from locus_tpu.io.dataset import make_world_sequence
+    from locus_tpu.metrics import ate_rmse as _ate
+
+    seq = make_world_sequence(world, num_scans=10, azimuth_steps=256, step=0.3)
+    cfg = small_cfg()
+    poses, outputs, _ = run_sequence(seq, cfg)
+    gt = seq.gt_poses[:10]
+    ate = _ate(poses[:, :3, 3], gt[:, :3, 3], align=False)
+    assert ate < 0.2, (world, ate)

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Multi-world replay regression suite (the 13-dataset tmuxp matrix
+analog): replays tunnel / urban / cave sequences and reports ATE/RPE
+per world against thresholds.
+
+Usage: python tools/eval_suite.py [--scans 60] [--platform cpu] [--json out]
+"""
+import argparse
+import json
+
+import _pathsetup  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=60)
+    ap.add_argument("--azimuth", type=int, default=900)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import numpy as np
+
+    from locus_tpu.config import LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_world_sequence
+    from locus_tpu.metrics import ate_rmse, rpe
+    from locus_tpu.runner import run_sequence
+
+    cfg = LocusConfig(
+        scan_capacity=4096,
+        raw_scan_capacity=32768,
+        points_to_process_in_callback=3000,
+        mapper=MapperConfig(map_capacity=1 << 17, keyframe_capacity=4096),
+    )
+    results = {}
+    for world in ("tunnel", "urban", "cave"):
+        seq = make_world_sequence(world, num_scans=args.scans, azimuth_steps=args.azimuth)
+        poses, outputs, report = run_sequence(seq, cfg, collect_outputs=False)
+        gt = seq.gt_poses[: poses.shape[0]]
+        t_rpe, r_rpe = rpe(poses, gt)
+        results[world] = {
+            "ate_m": round(ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False), 4),
+            "rpe_t_m": round(t_rpe, 4),
+            "rpe_r_deg": round(float(np.degrees(r_rpe)), 4),
+            "distance_m": round(args.scans * 0.35, 1),
+        }
+    print(json.dumps(results, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f)
+
+
+if __name__ == "__main__":
+    main()
