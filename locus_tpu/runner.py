@@ -155,9 +155,18 @@ def run_sequence(
     max_scans: Optional[int] = None,
     collect_outputs: bool = True,
     return_state: bool = False,
+    backend=None,
+    backend_optimize_every: int = 5,
 ):
     """Replay a sequence; returns (poses (T,4,4), outputs list, RateReport)
-    — plus the final LocusState when return_state=True."""
+    — plus the final LocusState when return_state=True.
+
+    `backend` (a backend.PoseGraphBackend) enables the online SLAM loop:
+    keyframes are registered with the backend as they are inserted, loop
+    closures are attempted every `backend_optimize_every` keyframes, and
+    after a successful closure the optimized pose is pushed back into the
+    front end via set_integrated_estimate (the reference's external-LAMP
+    integration contract, PointCloudLocalization.h:114-117)."""
     cfg = cfg or LocusConfig()
     rstep = make_replay_step(cfg)
     state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
@@ -189,6 +198,10 @@ def run_sequence(
     def prefetch(i):
         next_args.append(packed_for(i))
 
+    from locus_tpu import localization as loc_mod
+    from locus_tpu import pipeline as pl_mod
+
+    kf_since_opt = 0
     device_outs = []
     for i in range(n):
         args = next_args.pop(0)
@@ -202,6 +215,31 @@ def run_sequence(
             np.asarray(out.pose)  # per-scan latency fence
             report.add(time.perf_counter() - t0)
         device_outs.append(out)
+
+        if backend is not None and bool(out.keyframe_inserted):
+            # fixed-leaf verification cloud (adaptive leaves vary scan to
+            # scan; mismatched-resolution registration slides)
+            raw = PointCloud(
+                jnp.where(args[1][:, None], args[0], PAD_COORD),
+                jnp.zeros_like(args[0]),
+                jnp.zeros(args[0].shape[0], jnp.float32),
+                args[1],
+            )
+            kf_cloud = pl_mod.preprocess(raw, jnp.asarray(0.5), cfg)
+            backend.add_keyframe(
+                float(seq.stamps[i]), np.asarray(out.pose), cloud=kf_cloud
+            )
+            kf_since_opt += 1
+            if kf_since_opt >= backend_optimize_every:
+                kf_since_opt = 0
+                if backend.try_close_loops() > 0:
+                    backend.optimize()
+                    corrected = jnp.asarray(
+                        backend.correction_for_latest(), dtype=jnp.float32
+                    )
+                    state = state._replace(
+                        loc=loc_mod.set_integrated_estimate(state.loc, corrected)
+                    )
         if th is not None:
             th.join()
     if not collect_outputs and device_outs:

@@ -110,3 +110,30 @@ def test_full_slam_loop_with_backend():
     err_raw = np.linalg.norm(raw_kf - gt_kf, axis=1).max()
     err_opt = np.linalg.norm(opt_kf - gt_kf, axis=1).max()
     assert err_opt <= err_raw * 1.5 + 0.05, (err_raw, err_opt)
+
+
+def test_online_backend_in_runner():
+    """Online SLAM loop through runner.run_sequence(backend=...): loop
+    closures detected and the correction applied DURING replay."""
+    from locus_tpu.runner import run_sequence
+
+    seq = loop_sequence(num_scans=96)
+    cfg = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(map_capacity=16384, keyframe_capacity=1024, map_voxel_leaf=0.1),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    backend = PoseGraphBackend(
+        loop_distance=2.5, min_index_gap=8, loop_fitness_max=0.12
+    )
+    poses, outputs, _ = run_sequence(
+        seq, cfg, backend=backend, backend_optimize_every=4
+    )
+    assert len(backend.keyframes) >= 15
+    assert backend.loops_found >= 1
+    # trajectory still sane after in-flight corrections
+    err = np.linalg.norm(poses[-1][:3, 3] - seq.gt_poses[-1][:3, 3])
+    assert err < 0.5, err
