@@ -4,6 +4,10 @@ snapshot the map, and run the online SLAM loop.
   python examples/quickstart.py [--platform cpu]
 """
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--platform", default=None)
