@@ -1,0 +1,148 @@
+"""Live streaming mode: the production serving loop.
+
+The reference's deployment is a ROS node consuming live sensor topics
+and publishing odometry at a fixed rate. The TPU equivalent: a host loop
+that pulls scans from any iterator (the native C++ prefetcher, a bag
+stream, a socket), pushes sensor samples as they arrive, invokes the
+compiled step, publishes through the FixedRatePublisher, and optionally
+checkpoints periodically (elastic recovery — beyond the reference, whose
+crashed nodes lose all map state, SURVEY §5.3).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from locus_tpu import checkpoint as ckpt_mod
+from locus_tpu import diagnostics, pipeline
+from locus_tpu.config import LocusConfig
+from locus_tpu.publisher import FixedRatePublisher
+from locus_tpu.runner import make_replay_step
+
+
+@dataclass
+class LiveSession:
+    """Stateful live-processing session.
+
+    feed_imu/feed_odom may be called from ingest threads between scans
+    (samples are queued host-side and flushed into the device buffers
+    with the next scan — the AsyncSpinner contract).
+    """
+
+    cfg: LocusConfig
+    initial_pose: Optional[np.ndarray] = None
+    publisher: Optional[FixedRatePublisher] = None
+    checkpoint_path: Optional[str] = None
+    checkpoint_every: int = 100
+    imu_window: int = 16
+    odom_window: int = 4
+
+    def __post_init__(self):
+        self._rstep = make_replay_step(self.cfg)
+        state = pipeline.init_state(
+            self.cfg,
+            initial_pose=None
+            if self.initial_pose is None
+            else jnp.asarray(self.initial_pose, jnp.float32),
+        )
+        self.state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), state
+        )
+        self._imu_queue: list = []
+        self._odom_queue: list = []
+        self._scan_count = 0
+        self.diag = diagnostics.DiagnosticsLog(
+            window_s=self.cfg.statistics_time_window
+        )
+        self.timer = diagnostics.StageTimer()
+
+    # -- ingest ------------------------------------------------------------
+    def feed_imu(self, stamp: float, quat_wxyz):
+        self._imu_queue.append((float(stamp), np.asarray(quat_wxyz, np.float32)))
+
+    def feed_odom(self, stamp: float, pose_4x4):
+        self._odom_queue.append((float(stamp), np.asarray(pose_4x4, np.float32)))
+
+    def _drain(self, queue, n, payload_shape, eye=False):
+        take = queue[-n:]
+        del queue[: len(queue)]
+        pad = n - len(take)
+        stamps = np.full((n,), -np.inf, np.float32)
+        payload = (
+            np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            if eye
+            else np.zeros((n,) + payload_shape, np.float32)
+        )
+        for k, (s, v) in enumerate(take):
+            stamps[pad + k] = s
+            payload[pad + k] = v
+        return stamps, payload
+
+    # -- the scan tick -----------------------------------------------------
+    def process_scan(self, stamp: float, xyz: np.ndarray, valid=None):
+        """Process one merged base-frame sweep; returns (pose, outputs)."""
+        from locus_tpu.runner import pack_scan
+
+        with self.timer.time("lidar_callback"):
+            packed_xyz, mask = pack_scan(
+                np.asarray(xyz, np.float32),
+                np.ones(len(xyz), bool) if valid is None else valid,
+                self.cfg.raw_scan_capacity,
+            )
+            imu_s, imu_q = self._drain(self._imu_queue, self.imu_window, (4,))
+            odo_s, odo_p = self._drain(
+                self._odom_queue, self.odom_window, (4, 4), eye=True
+            )
+            self.state, out = self._rstep(
+                self.state,
+                jnp.asarray(packed_xyz), jnp.asarray(mask),
+                jnp.asarray(stamp, jnp.float32),
+                jnp.asarray(imu_s), jnp.asarray(imu_q),
+                jnp.asarray(odo_s), jnp.asarray(odo_p),
+                jnp.asarray(self._scan_count, jnp.int32),
+            )
+            pose = np.asarray(out.pose)
+
+        self._scan_count += 1
+        if self.publisher is not None:
+            # fire ticks due since the previous scan (upsampled from the
+            # previous pose + odometry stream), then install the new pose
+            self.publisher.run_until(stamp)
+            self.publisher.on_scan_pose(
+                stamp, pose, np.asarray(out.covariance)
+            )
+        self.diag.add(
+            diagnostics.from_step_output(stamp, out, scan_count=self._scan_count)
+        )
+        if (
+            self.checkpoint_path
+            and self._scan_count % self.checkpoint_every == 0
+        ):
+            ckpt_mod.save_state(self.checkpoint_path, self.state)
+        return pose, out
+
+    # -- lifecycle ---------------------------------------------------------
+    def resume(self, path: str):
+        """Restore a checkpointed session (elastic recovery)."""
+        template = pipeline.init_state(self.cfg)
+        restored = ckpt_mod.load_state(path, template)
+        self.state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), restored
+        )
+
+    def run(self, scan_source: Iterator, max_scans: Optional[int] = None):
+        """Consume (stamp, xyz[, valid]) tuples until exhausted."""
+        poses = []
+        for i, item in enumerate(scan_source):
+            if max_scans is not None and i >= max_scans:
+                break
+            stamp, xyz = item[0], item[1]
+            valid = item[2] if len(item) > 2 else None
+            pose, _ = self.process_scan(stamp, xyz, valid)
+            poses.append(pose)
+        return np.stack(poses) if poses else np.zeros((0, 4, 4))

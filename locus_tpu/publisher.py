@@ -41,6 +41,10 @@ class FixedRatePublisher:
         self.latest_scan_pose = np.asarray(pose, np.float64)
         if covariance is not None:
             self.latest_covariance = np.asarray(covariance, np.float64)
+        if self.last_published_stamp < 0:
+            # anchor the timer at the first scan so subsequent run_until
+            # calls fire the intermediate ticks
+            self.last_published_stamp = float(stamp)
 
     def on_odom(self, stamp: float, pose: np.ndarray):
         """External odometry stream sample (the upsampling source)."""

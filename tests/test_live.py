@@ -1,0 +1,75 @@
+"""Live session tests: streaming ingestion, fixed-rate publishing,
+periodic checkpoint + crash recovery."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+from locus_tpu.io.dataset import make_tunnel_sequence
+from locus_tpu.live import LiveSession
+from locus_tpu.publisher import FixedRatePublisher
+
+
+def small_cfg():
+    return LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=4096,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(map_capacity=8192, keyframe_capacity=1024, map_voxel_leaf=0.1),
+        fusion=FusionConfig(data_integration_mode=1),
+    )
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return make_tunnel_sequence(num_scans=8, azimuth_steps=256, step=0.3, seed=2)
+
+
+def scan_stream(seq, n):
+    for i in range(n):
+        yield seq.stamps[i], seq.scans[i], seq.scan_valid[i]
+
+
+def test_live_session_tracks(seq):
+    sess = LiveSession(cfg=small_cfg(), initial_pose=seq.gt_poses[0])
+    # feed IMU ahead of each scan
+    poses = []
+    imu_i = 0
+    for i in range(8):
+        while imu_i < len(seq.imu_stamps) and seq.imu_stamps[imu_i] <= seq.stamps[i]:
+            sess.feed_imu(seq.imu_stamps[imu_i], seq.imu_quats[imu_i])
+            imu_i += 1
+        pose, out = sess.process_scan(seq.stamps[i], seq.scans[i], seq.scan_valid[i])
+        poses.append(pose)
+    err = np.linalg.norm(poses[-1][:3, 3] - seq.gt_poses[7][:3, 3])
+    assert err < 0.15, err
+    assert sess.diag.summary()["count"] > 0
+    assert "lidar_callback" in sess.timer.summary()
+
+
+def test_live_publisher_integration(seq):
+    pub = FixedRatePublisher(rate_hz=20.0)
+    sess = LiveSession(cfg=small_cfg(), initial_pose=seq.gt_poses[0], publisher=pub)
+    sess.run(scan_stream(seq, 5))
+    # 5 scans over 0.4 s at 20 Hz -> ~8 publishes
+    assert len(pub.published) >= 5
+
+
+def test_live_checkpoint_resume(tmp_path, seq):
+    ck = str(tmp_path / "live.npz")
+    sess = LiveSession(
+        cfg=small_cfg(), initial_pose=seq.gt_poses[0],
+        checkpoint_path=ck, checkpoint_every=3,
+    )
+    sess.run(scan_stream(seq, 4))  # checkpoint fires at scan 3
+    pose_at_ck = None
+
+    # "crash" -> new session resumes from checkpoint and continues
+    sess2 = LiveSession(cfg=small_cfg(), initial_pose=seq.gt_poses[0])
+    sess2.resume(ck)
+    sess2._scan_count = 3
+    for i in range(3, 8):
+        pose, _ = sess2.process_scan(seq.stamps[i], seq.scans[i], seq.scan_valid[i])
+    err = np.linalg.norm(pose[:3, 3] - seq.gt_poses[7][:3, 3])
+    assert err < 0.2, err
