@@ -173,6 +173,8 @@ class LocusConfig:
     translation_threshold_open_space_kf: float = 2.0
     rotation_threshold_open_space_kf: float = 0.6
     xy_cross_section_threshold: float = 2500.0
+    b_monitor_space: bool = False      # in-graph localizer-space monitor
+    b_publish_xy_cross_section: bool = True
     b_is_flat_ground_assumption: bool = False
     b_add_keyframes_enabled: bool = True
     b_enable_computation_time_profiling: bool = True

@@ -199,6 +199,24 @@ def step(
     else:
         next_leaf = state.voxel_leaf
 
+    # -- localizer space monitor (open/closed keyframe policy switch;
+    # reference subscribes to an external monitor, Locus.cc:316-319 — here
+    # the xy cross-section is estimated in-graph from the scan's lateral
+    # bounding box near the sensor plane) ---------------------------------
+    if cfg.b_monitor_space:
+        near_plane = scan.mask & (jnp.abs(scan.xyz[:, 2]) < 1.0)
+        big = 1e9
+        x = jnp.where(near_plane, scan.xyz[:, 0], big)
+        y = jnp.where(near_plane, scan.xyz[:, 1], big)
+        xs = jnp.where(near_plane, scan.xyz[:, 0], -big)
+        ys = jnp.where(near_plane, scan.xyz[:, 1], -big)
+        area = jnp.maximum(jnp.max(xs) - jnp.min(x), 0.0) * jnp.maximum(
+            jnp.max(ys) - jnp.min(y), 0.0
+        )
+        open_space = area > cfg.xy_cross_section_threshold
+    else:
+        open_space = state.open_space
+
     # -- prior selection (IntegrateSensors) --------------------------------
     sel = fusion.integrate_sensors(
         state.fuse, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
@@ -245,12 +263,12 @@ def step(
     # -- keyframe policy (Locus.cc:514-543, open/closed space :571-576) ----
     delta_kf = se3.pose_delta(state.last_keyframe_pose, pose)
     t_thresh = jnp.where(
-        state.open_space,
+        open_space,
         cfg.translation_threshold_open_space_kf,
         cfg.translation_threshold_closed_space_kf,
     )
     r_thresh = jnp.where(
-        state.open_space,
+        open_space,
         cfg.rotation_threshold_open_space_kf,
         cfg.rotation_threshold_closed_space_kf,
     )
@@ -337,7 +355,7 @@ def step(
         last_keyframe_pose=last_kf_pose,
         previous_stamp=jnp.asarray(stamp, jnp.float32),
         velocities=vb,
-        open_space=state.open_space,
+        open_space=open_space,
         stats=stats,
     )
     out = StepOutput(

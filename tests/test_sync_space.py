@@ -1,0 +1,72 @@
+"""ApproximateTime synchronizer + space monitor tests."""
+import numpy as np
+import jax.numpy as jnp
+
+from locus_tpu.sync import ApproximateTimeSync
+
+
+def test_sync_three_streams():
+    s = ApproximateTimeSync(["a", "b", "c"], slop=0.02)
+    out = s.push("a", 1.000, "A1")
+    assert out is None
+    out = s.push("b", 1.005, "B1")
+    assert out is None
+    out = s.push("c", 1.010, "C1")
+    assert out is not None
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"][1] == "A1"
+
+
+def test_sync_drops_dead_stream():
+    s = ApproximateTimeSync(["a", "b", "c"], slop=0.02, liveness_timeout=0.5)
+    s.push("a", 1.0, "A1")
+    s.push("b", 1.01, "B1")
+    s.push("c", 1.01, "C1")  # emits the first tuple
+    # stream c dies; a+b continue past the timeout
+    out = None
+    t = 1.1
+    while t < 2.2:
+        s.push("a", t, f"A{t:.1f}")
+        out = s.push("b", t + 0.005, f"B{t:.1f}")
+        if out is not None and "c" not in out:
+            break
+        t += 0.1
+    assert out is not None and set(out) == {"a", "b"}
+
+
+def test_sync_slop_rejects_far_messages():
+    s = ApproximateTimeSync(["a", "b"], slop=0.01)
+    s.push("a", 1.0, "A")
+    out = s.push("b", 1.5, "B")  # far beyond slop: must not pair
+    assert out is None or "a" not in out
+
+
+def test_space_monitor_switches_thresholds():
+    from tests.test_pipeline import small_cfg
+    from locus_tpu import pipeline
+    from locus_tpu.core.cloud import PointCloud
+
+    cfg = small_cfg(
+        b_monitor_space=True,
+        xy_cross_section_threshold=100.0,
+        translation_threshold_closed_space_kf=0.5,
+        translation_threshold_open_space_kf=5.0,
+    )
+    import jax
+
+    # wide scan (open space): bounding box 40x40 -> area 1600 > 100
+    rng = np.random.default_rng(0)
+    wide = rng.uniform(-20, 20, size=(1000, 3)).astype(np.float32)
+    wide[:, 2] = rng.uniform(-0.5, 0.5, size=1000)
+    raw = PointCloud.from_points(wide, capacity=cfg.raw_scan_capacity)
+    state = pipeline.init_state(cfg)
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    step = jax.jit(lambda st, rw: pipeline.step(st, rw, jnp.asarray(0.1, jnp.float32), cfg))
+    state, out = step(state, raw)
+    assert bool(state.open_space)
+
+    # narrow scan (closed space)
+    narrow = rng.uniform(-2, 2, size=(1000, 3)).astype(np.float32)
+    raw2 = PointCloud.from_points(narrow, capacity=cfg.raw_scan_capacity)
+    state, out = step(state, raw2)
+    assert not bool(state.open_space)
