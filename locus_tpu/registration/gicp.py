@@ -346,6 +346,24 @@ def gicp_register(
     src0_normals = se3.rotate_vectors(guess, source.normals)
     corr_dist2 = cfg.corr_dist * cfg.corr_dist
 
+    # Hoist the NN operand build out of the outer while-loop (the target
+    # is loop-invariant; don't rely on XLA LICM) and use the pruned
+    # radius-bounded kernel — hits beyond corr_dist are gated anyway.
+    if jax.default_backend() != "cpu" and source.capacity >= 128:
+        from locus_tpu.ops.pallas.nn import build_nn_target, nearest_pallas_bounded
+
+        t_aug = build_nn_target(target.xyz)
+
+        def nearest_fn(p):
+            d2, j = nearest_pallas_bounded(
+                p, t_aug, target.xyz, target_mask=target.mask,
+                radius=float(cfg.corr_dist),
+            )
+            return jnp.where(jnp.isfinite(d2), d2, 1e12), j
+    else:
+        def nearest_fn(p):
+            return neighbors.nearest(p, target.xyz)
+
     def outer_cond(carry):
         T, it, delta, _, _ = carry
         return (it < cfg.iterations) & (delta >= 1.0)
@@ -354,7 +372,7 @@ def gicp_register(
         T, it, _, _, _ = carry
         R = se3.rotation(T)
         p = se3.transform_points(T, src0)            # current source positions
-        d2, j = neighbors.nearest(p, target.xyz)
+        d2, j = nearest_fn(p)
         w = (
             source.mask
             & target.mask[j]
@@ -408,8 +426,8 @@ def gicp_register(
     # Final correspondences at the converged pose (consumed by the
     # localization covariance re-lookup, PointCloudLocalization.cc:327-336).
     p_fin = se3.transform_points(final, source.xyz)
-    d2_fin, j_fin = neighbors.nearest(
-        jnp.where(source.mask[:, None], p_fin, source.xyz), target.xyz
+    d2_fin, j_fin = nearest_fn(
+        jnp.where(source.mask[:, None], p_fin, source.xyz)
     )
     corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= corr_dist2)
 
