@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from locus_tpu.config import RegistrationConfig
 from locus_tpu.core.cloud import PointCloud
-from locus_tpu.geometry import se3
 from locus_tpu.parallel import posegraph as pg
 from locus_tpu.registration.gicp import gicp_register
 

@@ -10,9 +10,8 @@ crashed nodes lose all map state, SURVEY §5.3).
 """
 from __future__ import annotations
 
-import time
-from dataclasses import dataclass, field
-from typing import Callable, Iterator, Optional
+from dataclasses import dataclass
+from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
-from jax import lax
 
 from locus_tpu.config import RegistrationConfig
 from locus_tpu.core.cloud import PointCloud

@@ -27,8 +27,6 @@ scale, which breaks correspondence sets.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

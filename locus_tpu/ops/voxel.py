@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from locus_tpu.core.cloud import PointCloud, PAD_COORD
 

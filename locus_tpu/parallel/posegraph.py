@@ -18,7 +18,7 @@ reduce-scatter/all-gather collectives"):
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,11 +14,9 @@ is the template the Pallas ring kernel can later replace).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from locus_tpu.ops import neighbors
 
