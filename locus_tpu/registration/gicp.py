@@ -365,11 +365,11 @@ def gicp_register(
             return neighbors.nearest(p, target.xyz)
 
     def outer_cond(carry):
-        T, it, delta, _, _ = carry
+        T, it, delta, _, _, _, _ = carry
         return (it < cfg.iterations) & (delta >= 1.0)
 
     def outer_body(carry):
-        T, it, _, _, _ = carry
+        T, it, _, _, _, _, _ = carry
         R = se3.rotation(T)
         p = se3.transform_points(T, src0)            # current source positions
         d2, j = nearest_fn(p)
@@ -409,26 +409,28 @@ def gicp_register(
         delta = _scaled_delta(T, T_new, cfg)
         nw = jnp.maximum(jnp.sum(w), 1.0)
         fitness = jnp.sum(d2 * w) / nw
-        return (T_new, it + 1, delta, fitness, jnp.sum(w).astype(jnp.int32))
+        return (T_new, it + 1, delta, fitness, jnp.sum(w).astype(jnp.int32), j, d2)
 
+    n_src = source.capacity
     init = (
         se3.identity(),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(jnp.inf, jnp.float32),
         jnp.asarray(jnp.inf, jnp.float32),
         jnp.asarray(0, jnp.int32),
+        jnp.zeros((n_src,), jnp.int32),
+        jnp.full((n_src,), jnp.inf, jnp.float32),
     )
-    T_fin, iters, delta, fitness, ncorr = lax.while_loop(
+    T_fin, iters, delta, fitness, ncorr, j_fin, d2_fin = lax.while_loop(
         outer_cond, outer_body, init
     )
 
     final = se3.compose(T_fin, guess)
-    # Final correspondences at the converged pose (consumed by the
-    # localization covariance re-lookup, PointCloudLocalization.cc:327-336).
-    p_fin = se3.transform_points(final, source.xyz)
-    d2_fin, j_fin = nearest_fn(
-        jnp.where(source.mask[:, None], p_fin, source.xyz)
-    )
+    # Final correspondences: carried out of the last iteration. The loop
+    # converged (delta < eps), so these match a re-lookup at the final
+    # pose to within the convergence epsilon — the reference re-searches
+    # at the aligned pose (PointCloudLocalization.cc:327-336); we skip
+    # that extra full NN pass.
     corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= corr_dist2)
 
     return GICPResult(
