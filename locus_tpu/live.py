@@ -40,6 +40,11 @@ class LiveSession:
     checkpoint_every: int = 100
     imu_window: int = 16
     odom_window: int = 4
+    # debug cloud dumps (the reference publishes query/reference/aligned
+    # clouds per module, PointCloudOdometry.cc:123-134): write the
+    # preprocessed scan as PCD every N scans (0 = off)
+    debug_dump_dir: Optional[str] = None
+    debug_dump_every: int = 20
 
     def __post_init__(self):
         self._rstep = make_replay_step(self.cfg)
@@ -123,6 +128,29 @@ class LiveSession:
             and self._scan_count % self.checkpoint_every == 0
         ):
             ckpt_mod.save_state(self.checkpoint_path, self.state)
+        if (
+            self.debug_dump_dir
+            and self._scan_count % self.debug_dump_every == 0
+        ):
+            import os
+
+            from locus_tpu.io import pcd as pcd_mod
+            from locus_tpu.mapping.keyframe_map import snapshot_to_pcd
+
+            os.makedirs(self.debug_dump_dir, exist_ok=True)
+            k = np.asarray(mask)
+            pcd_mod.write_pcd(
+                os.path.join(
+                    self.debug_dump_dir, f"scan_{self._scan_count:06d}.pcd"
+                ),
+                np.asarray(packed_xyz)[k],
+            )
+            snapshot_to_pcd(
+                self.state.map,
+                os.path.join(
+                    self.debug_dump_dir, f"map_{self._scan_count:06d}.pcd"
+                ),
+            )
         return pose, out
 
     # -- lifecycle ---------------------------------------------------------

@@ -73,3 +73,16 @@ def test_live_checkpoint_resume(tmp_path, seq):
         pose, _ = sess2.process_scan(seq.stamps[i], seq.scans[i], seq.scan_valid[i])
     err = np.linalg.norm(pose[:3, 3] - seq.gt_poses[7][:3, 3])
     assert err < 0.2, err
+
+
+def test_live_debug_dumps(tmp_path, seq):
+    sess = LiveSession(
+        cfg=small_cfg(), initial_pose=seq.gt_poses[0],
+        debug_dump_dir=str(tmp_path / "dumps"), debug_dump_every=2,
+    )
+    sess.run(scan_stream(seq, 4))
+    import os
+
+    files = os.listdir(tmp_path / "dumps")
+    assert any(f.startswith("scan_") for f in files)
+    assert any(f.startswith("map_") for f in files)
