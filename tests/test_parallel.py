@@ -152,3 +152,55 @@ def test_batched_multisequence_replay(mesh8):
     poses_b = np.asarray(poses_b)  # (T, B, 4, 4)
     for b in range(2):
         np.testing.assert_allclose(poses_b[:, b], poses_ref[b], atol=1e-4)
+
+
+def test_map_sharding_determinism(mesh8):
+    """The reference's thread-count determinism contract at device level:
+    replaying with the map point axis sharded over the mesh "map" axis
+    must give the same trajectory as the unsharded run (GSPMD inserts
+    the collectives; the math must not care)."""
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel import mesh as mesh_lib
+    from locus_tpu.runner import (
+        make_batched_replay,
+        make_scan_replay,
+        pack_sequence,
+        stack_packed,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(map_capacity=2048, keyframe_capacity=256, map_voxel_leaf=0.1),
+    )
+    seq = make_tunnel_sequence(num_scans=3, azimuth_steps=64, seed=3)
+    packed = pack_sequence(seq, cfg)
+
+    # unsharded single replay
+    st = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+    st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+    _, (poses_ref, _, _) = make_scan_replay(cfg)(st, dict(packed))
+    poses_ref = np.asarray(poses_ref)
+
+    # batched (B=2 same sequence), map axis sharded over 4 devices
+    states = []
+    for _ in range(2):
+        s = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+        states.append(jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), s))
+    batched = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    sh = mesh_lib.batched_state_shardings(mesh8, batched, cfg.mapper.map_capacity)
+    batched = jax.tree_util.tree_map(jax.device_put, batched, sh)
+    packed2 = stack_packed([packed, packed])
+    packed2 = {
+        k: jax.device_put(v, NamedSharding(mesh8, P(None, "data")))
+        for k, v in packed2.items()
+    }
+    _, (poses_b, _, _) = make_batched_replay(cfg)(batched, packed2)
+    poses_b = np.asarray(poses_b)
+    for b in range(2):
+        np.testing.assert_allclose(poses_b[:, b], poses_ref, atol=1e-4)
