@@ -53,9 +53,9 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
     """1-NN into the map store, bounded to `radius` (hits beyond it come
     back as d2=inf — every consumer gates far hits anyway): bbox-pruned
     cached-operand Pallas path on TPU, plain XLA on CPU."""
-    import jax
+    from locus_tpu.ops.dispatch import pallas_allowed
 
-    if jax.default_backend() != "cpu" and query_xyz.shape[0] >= 128:
+    if pallas_allowed() and query_xyz.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas_bounded
 
         return nearest_pallas_bounded(

@@ -105,7 +105,9 @@ def nearest(
     XLA path materializes the full (N, M) matrix in HBM and is traffic-
     bound at production shapes. CPU (tests) uses the XLA path.
     """
-    if jax.default_backend() != "cpu" and query.shape[0] >= 128:
+    from locus_tpu.ops.dispatch import pallas_allowed
+
+    if pallas_allowed() and query.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas
 
         return nearest_pallas(query, target)

@@ -145,7 +145,9 @@ def estimate_normals_radius(
         radius_moments_xla,
     )
 
-    if jax.default_backend() != "cpu" and cloud.capacity >= 128:
+    from locus_tpu.ops.dispatch import pallas_allowed
+
+    if pallas_allowed() and cloud.capacity >= 128:
         count, mean, cov = radius_moments_pallas(cloud.xyz, cloud.xyz, radius)
     else:
         count, mean, cov = radius_moments_xla(

@@ -349,7 +349,9 @@ def gicp_register(
     # Hoist the NN operand build out of the outer while-loop (the target
     # is loop-invariant; don't rely on XLA LICM) and use the pruned
     # radius-bounded kernel — hits beyond corr_dist are gated anyway.
-    if jax.default_backend() != "cpu" and source.capacity >= 128:
+    from locus_tpu.ops.dispatch import pallas_allowed
+
+    if pallas_allowed() and source.capacity >= 128:
         from locus_tpu.ops.pallas.nn import build_nn_target, nearest_pallas_bounded
 
         t_aug = build_nn_target(target.xyz)

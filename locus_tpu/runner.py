@@ -132,9 +132,16 @@ def make_batched_replay(cfg: LocusConfig):
     # batch axis: state pytree leading dim, packed arrays (B, T, ...)
     vreplay = jax.vmap(replay_one, in_axes=(0, 1), out_axes=(0, 1))
 
-    @partial(jax.jit, donate_argnums=(0,))
+    _jitted = partial(jax.jit, donate_argnums=(0,))(vreplay)
+
     def replay(states, packed):
-        return vreplay(states, packed)
+        # the pallas kernels' SMEM scalar operands don't batch under
+        # vmap; trace the batched program with the XLA kernel paths
+        # (also what GSPMD partitions for sharded maps)
+        from locus_tpu.ops.dispatch import no_pallas
+
+        with no_pallas():
+            return _jitted(states, packed)
 
     return replay
 
