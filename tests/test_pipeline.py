@@ -238,3 +238,63 @@ def test_world_variants(world):
     gt = seq.gt_poses[:10]
     ate = _ate(poses[:, :3, 3], gt[:, :3, 3], align=False)
     assert ate < 0.2, (world, ate)
+
+
+def test_random_filter_open_space_variant(tunnel_seq):
+    """The random filter runs inside the jitted step with the open-space
+    decimation variant (PointCloudFilter.cc:103-110): open space decimates
+    harder (decimate_percentage_open_space > decimate_percentage)."""
+    import dataclasses
+
+    import jax
+
+    from locus_tpu.core.cloud import PointCloud, PAD_COORD
+
+    cfg = small_cfg(
+        filtering=FilterConfig(
+            body_filter=True,
+            normals_k=12,
+            random_filter=True,
+            decimate_percentage=0.3,
+            decimate_percentage_open_space=0.9,
+        ),
+        b_adaptive_input_voxelization=False,
+    )
+    xyz = np.asarray(tunnel_seq.scans[0], np.float32)[: cfg.raw_scan_capacity]
+    pad = cfg.raw_scan_capacity - xyz.shape[0]
+    mask = np.concatenate([np.ones(xyz.shape[0], bool), np.zeros(pad, bool)])
+    xyz = np.concatenate([xyz, np.full((pad, 3), PAD_COORD, np.float32)])
+    raw = PointCloud(
+        jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(xyz), PAD_COORD),
+        jnp.zeros((cfg.raw_scan_capacity, 3), jnp.float32),
+        jnp.zeros((cfg.raw_scan_capacity,), jnp.float32),
+        jnp.asarray(mask),
+    )
+    key = jax.random.PRNGKey(0)
+    leaf = jnp.asarray(cfg.filtering.grid_res, jnp.float32)
+    n_closed = int(
+        pipeline.preprocess(
+            raw, leaf, cfg, key=key, open_space=jnp.asarray(False)
+        ).count()
+    )
+    n_open = int(
+        pipeline.preprocess(
+            raw, leaf, cfg, key=key, open_space=jnp.asarray(True)
+        ).count()
+    )
+    n_off = int(
+        pipeline.preprocess(
+            raw,
+            leaf,
+            cfg.replace(
+                filtering=dataclasses.replace(cfg.filtering, random_filter=False)
+            ),
+        ).count()
+    )
+    assert n_off > n_closed > n_open > 0, (n_off, n_closed, n_open)
+
+    # and the full jitted step accepts the config (key derived in-graph)
+    state = pipeline.init_state(cfg)
+    step = pipeline.make_step(cfg)
+    state2, out = step(state, raw, jnp.asarray(0.1, jnp.float32))
+    assert int(out.num_points) > 0
