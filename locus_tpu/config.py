@@ -128,6 +128,14 @@ class MapperConfig:
     # centroid lattices.
     keyframe_at_map_resolution: bool = False
     num_shards: int = 1                # map point-axis shards (mesh axis "map")
+    # Map structure (the reference's mapperFabric choice of octree /
+    # multithreaded / ikd-tree, lo_settings.yaml:49-58):
+    #   "ring"       — ring-buffer point store with ANN novelty dedup
+    #                  (default; octree-mapper analog)
+    #   "voxel_hash" — spatial-hash slotted store, one point per map
+    #                  voxel, O(1) dedup on insert (ikd-tree
+    #                  downsample-on-insert analog)
+    structure: str = "ring"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,152 @@
+"""Voxel-hash slotted map store (the ikd-tree mapper analog).
+
+Second map structure behind the mapper registry (the reference's
+`mapperFabric` builds one of PointCloudMapper / MultiThreadedMapper /
+IkdTreeMapper from `mapper/type`, locus/config/lo_settings.yaml:49-58;
+interface used by the orchestrator at locus/src/Locus.cc:464-543).
+
+Design: each stored point lives in the slot picked by a spatial hash of
+its map-resolution voxel coordinates — insertion is one scatter, dedup
+is intrinsic (at most one point per occupied voxel key), and eviction
+under the map sliding window is a mask like the ring store. Compared to
+`keyframe_map` (ring buffer + ANN novelty gate) this trades the ring's
+strict insertion-order retention for ikd-tree-style
+downsample-on-insert semantics with O(1) updates: no per-insert ANN
+pass is needed at all. Hash collisions between different voxels
+overwrite (latest wins); at the production load factor (20 m window at
+0.15 m leaf vs 131k slots) collisions are rare and the MSW refresh
+frees stale slots.
+
+kNN queries reuse the same cached augmented operand + bounded Pallas
+1-NN as the ring store, so scan-to-submap sees an identical interface.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from locus_tpu.config import MapperConfig
+from locus_tpu.core.cloud import PointCloud, PAD_COORD
+from locus_tpu.mapping import keyframe_map as _ring
+
+# Classic 3D spatial-hash primes (Teschner et al.).
+_P1, _P2, _P3 = 73856093, 19349663, 83492791
+
+
+class HashMapState(NamedTuple):
+    cloud: PointCloud               # world-frame stored points (+normals)
+    keys: jnp.ndarray               # (M,3) int32 voxel coords per slot
+    occupied: jnp.ndarray           # (M,) bool
+    num_keyframes: jnp.ndarray      # int32
+    last_refresh_position: jnp.ndarray  # (3,)
+    nn_aug: jnp.ndarray             # cached (AUG, m_pad) NN operand
+
+
+def init_map(cfg: MapperConfig) -> HashMapState:
+    from locus_tpu.ops.pallas.nn import build_nn_target
+
+    cloud = PointCloud.empty(cfg.map_capacity)
+    return HashMapState(
+        cloud=cloud,
+        keys=jnp.zeros((cfg.map_capacity, 3), jnp.int32),
+        occupied=jnp.zeros((cfg.map_capacity,), bool),
+        num_keyframes=jnp.asarray(0, jnp.int32),
+        last_refresh_position=jnp.zeros((3,), jnp.float32),
+        nn_aug=build_nn_target(cloud.xyz),
+    )
+
+
+def _voxel_ijk(xyz: jnp.ndarray, leaf: float) -> jnp.ndarray:
+    return jnp.floor(xyz / leaf).astype(jnp.int32)
+
+
+def _slot_of(ijk: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    h = ijk[:, 0] * _P1 ^ ijk[:, 1] * _P2 ^ ijk[:, 2] * _P3
+    # int32 wraparound then nonnegative modulo (capacity is a power of 2
+    # in practice but don't rely on it)
+    return jnp.abs(h) % capacity
+
+
+def insert_keyframe(
+    state: HashMapState, keyframe: PointCloud, cfg: MapperConfig,
+    nearest_d2: jnp.ndarray | None = None,
+) -> HashMapState:
+    """InsertPoints: scatter each keyframe point into its voxel slot.
+
+    A point is written when its slot is free OR holds a different voxel
+    key (collision: latest wins); a slot already holding the SAME voxel
+    keeps the original point — exactly the reference octree's 'first
+    return per resolution cell' retention. `nearest_d2` is accepted for
+    interface parity with the ring store and ignored (dedup is
+    intrinsic here)."""
+    del nearest_d2
+    cap = state.cloud.capacity
+    leaf = cfg.map_voxel_leaf
+    ijk = _voxel_ijk(keyframe.xyz, leaf)
+    slot = _slot_of(ijk, cap)
+
+    same_voxel = state.occupied[slot] & jnp.all(state.keys[slot] == ijk, axis=1)
+    write = keyframe.mask & ~same_voxel
+    idx = jnp.where(write, slot, cap)       # cap = out of range -> dropped
+
+    from locus_tpu.ops.pallas.nn import update_nn_target
+
+    cloud = state.cloud
+    new_cloud = PointCloud(
+        cloud.xyz.at[idx].set(keyframe.xyz, mode="drop"),
+        cloud.normals.at[idx].set(keyframe.normals, mode="drop"),
+        cloud.intensity.at[idx].set(keyframe.intensity, mode="drop"),
+        cloud.mask.at[idx].set(True, mode="drop"),
+    )
+    return HashMapState(
+        cloud=new_cloud,
+        keys=state.keys.at[idx].set(ijk, mode="drop"),
+        occupied=state.occupied.at[idx].set(True, mode="drop"),
+        num_keyframes=state.num_keyframes + 1,
+        last_refresh_position=state.last_refresh_position,
+        nn_aug=update_nn_target(state.nn_aug, idx, keyframe.xyz, write),
+    )
+
+
+def refresh_msw(
+    state: HashMapState, position: jnp.ndarray, cfg: MapperConfig
+) -> HashMapState:
+    """Refresh: evict slots outside the MSW box (frees them for reuse)."""
+    from locus_tpu.ops.pallas.nn import build_nn_target
+
+    half = cfg.box_filter_size * 0.5
+    inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
+    keep = state.cloud.mask & inside
+    cloud = state.cloud.with_mask(keep)
+    return state._replace(
+        cloud=cloud,
+        occupied=keep,
+        last_refresh_position=position,
+        nn_aug=build_nn_target(cloud.xyz),
+    )
+
+
+def approx_nearest_neighbors(
+    state: HashMapState, query: PointCloud, return_d2: bool = False,
+    radius: float = 2.0,
+):
+    """Identical query interface to the ring store (shared kernel)."""
+    d2, idx = _ring._map_nearest(state, query.xyz, radius)
+    mask = query.mask & state.cloud.mask[idx] & jnp.isfinite(d2)
+    out = PointCloud(
+        jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),
+        jnp.where(mask[:, None], state.cloud.normals[idx], 0.0),
+        jnp.where(mask, state.cloud.intensity[idx], 0.0),
+        mask,
+    )
+    if return_d2:
+        return out, jnp.where(mask, d2, jnp.inf)
+    return out
+
+
+def map_size(state: HashMapState) -> jnp.ndarray:
+    return state.cloud.count()
+
+
+snapshot_to_pcd = _ring.snapshot_to_pcd

@@ -65,13 +65,15 @@ def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def radius_moments_pallas(
+def radius_moments_pallas_comps(
     query: jnp.ndarray, target: jnp.ndarray, radius, interpret: bool = False
 ):
-    """Exact radius-neighborhood moments.
+    """Exact radius-neighborhood moments in COMPONENT form.
 
-    Returns (count (N,), mean (N,3), cov (N,3,3)); `radius` may be a
-    traced scalar (runtime-adaptive, tied to the voxel leaf).
+    Returns (count (N,), (mx,my,mz), (cxx,cxy,cxz,cyy,cyz,czz)) — all
+    (N,) arrays so downstream normal extraction never touches (N,3,3)
+    layouts. `radius` may be a traced scalar (runtime-adaptive, tied to
+    the voxel leaf).
     """
     n, m = query.shape[0], target.shape[0]
     n_pad = -(-n // BQ) * BQ
@@ -118,26 +120,46 @@ def radius_moments_pallas(
         interpret=interpret,
     )(r2, q, t, feat)
 
-    out = out[:n]
+    return _moments_to_comps(out[:n])
+
+
+def _moments_to_comps(out: jnp.ndarray):
+    """(N,>=10) raw moment columns -> (count, mean comps, cov comps) —
+    all (N,) arrays; no (N,3,3) layouts on the hot path."""
     count = out[:, 9]
     denom = jnp.maximum(count, 1.0)
-    mean = out[:, :3] / denom[:, None]
-    xx, yy, zz = out[:, 3] / denom, out[:, 4] / denom, out[:, 5] / denom
-    xy, xz, yz = out[:, 6] / denom, out[:, 7] / denom, out[:, 8] / denom
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
+    mx, my, mz = out[:, 0] / denom, out[:, 1] / denom, out[:, 2] / denom
+    cxx = out[:, 3] / denom - mx * mx
+    cyy = out[:, 4] / denom - my * my
+    czz = out[:, 5] / denom - mz * mz
+    cxy = out[:, 6] / denom - mx * my
+    cxz = out[:, 7] / denom - mx * mz
+    cyz = out[:, 8] / denom - my * mz
+    return count, (mx, my, mz), (cxx, cxy, cxz, cyy, cyz, czz)
+
+
+def _comps_to_dense(count, mean_c, cov_c):
+    mx, my, mz = mean_c
+    cxx, cxy, cxz, cyy, cyz, czz = cov_c
+    mean = jnp.stack([mx, my, mz], axis=-1)
     cov = jnp.stack(
         [
-            jnp.stack([xx - mx * mx, xy - mx * my, xz - mx * mz], axis=-1),
-            jnp.stack([xy - mx * my, yy - my * my, yz - my * mz], axis=-1),
-            jnp.stack([xz - mx * mz, yz - my * mz, zz - mz * mz], axis=-1),
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
         ],
         axis=-2,
     )
     return count, mean, cov
 
 
-def radius_moments_xla(query, target, target_mask, radius, chunk: int = 4096):
-    """XLA fallback with identical semantics (CPU/tests)."""
+def radius_moments_pallas(query, target, radius, interpret: bool = False):
+    """Dense-layout wrapper: (count, mean (N,3), cov (N,3,3))."""
+    return _comps_to_dense(*radius_moments_pallas_comps(query, target, radius, interpret=interpret))
+
+
+def radius_moments_xla_comps(query, target, target_mask, radius, chunk: int = 4096):
+    """XLA fallback with identical semantics (CPU/tests), component form."""
     from jax import lax
 
     n, m = query.shape[0], target.shape[0]
@@ -169,18 +191,11 @@ def radius_moments_xla(query, target, target_mask, radius, chunk: int = 4096):
     out, _ = lax.scan(
         body, jnp.zeros((n, 10), jnp.float32), (t_chunks, feat_chunks)
     )
-    count = out[:, 9]
-    denom = jnp.maximum(count, 1.0)
-    mean = out[:, :3] / denom[:, None]
-    xx, yy, zz = out[:, 3] / denom, out[:, 4] / denom, out[:, 5] / denom
-    xy, xz, yz = out[:, 6] / denom, out[:, 7] / denom, out[:, 8] / denom
-    mx, my, mz = mean[:, 0], mean[:, 1], mean[:, 2]
-    cov = jnp.stack(
-        [
-            jnp.stack([xx - mx * mx, xy - mx * my, xz - mx * mz], axis=-1),
-            jnp.stack([xy - mx * my, yy - my * my, yz - my * mz], axis=-1),
-            jnp.stack([xz - mx * mz, yz - my * mz, zz - mz * mz], axis=-1),
-        ],
-        axis=-2,
+    return _moments_to_comps(out)
+
+
+def radius_moments_xla(query, target, target_mask, radius, chunk: int = 4096):
+    """Dense-layout wrapper: (count, mean (N,3), cov (N,3,3))."""
+    return _comps_to_dense(
+        *radius_moments_xla_comps(query, target, target_mask, radius, chunk=chunk)
     )
-    return count, mean, cov

@@ -34,6 +34,7 @@ from locus_tpu.config import LocusConfig
 from locus_tpu.core.cloud import PointCloud
 from locus_tpu.geometry import se3
 from locus_tpu.mapping import keyframe_map as km
+from locus_tpu.mapping.registry import mapper_fabric
 from locus_tpu.ops import filters, normals as normals_op, voxel
 
 
@@ -55,7 +56,7 @@ class VelocityBuffer(NamedTuple):
 class LocusState(NamedTuple):
     odom: odometry.OdometryState
     loc: localization.LocalizationState
-    map: km.MapState
+    map: "km.MapState | object"   # structure chosen by cfg.mapper.structure
     fuse: fusion.FusionState
     voxel_leaf: jnp.ndarray            # runtime-adaptive leaf size
     last_keyframe_pose: jnp.ndarray    # (4,4)
@@ -86,7 +87,7 @@ def init_state(cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None) -> 
     return LocusState(
         odom=odometry.init_state(cfg.scan_capacity, initial_pose),
         loc=localization.init_state(initial_pose),
-        map=km.init_map(cfg.mapper),
+        map=mapper_fabric(cfg.mapper).init_map(cfg.mapper),
         fuse=fusion.init_state(cfg.fusion),
         voxel_leaf=jnp.asarray(cfg.filtering.grid_res, jnp.float32),
         last_keyframe_pose=(
@@ -254,7 +255,8 @@ def step(
     # -- scan-to-submap -----------------------------------------------------
     loc0 = localization.motion_update(state.loc, odo.state.incremental)
     fixed = localization.transform_points_to_fixed_frame(loc0, scan)
-    neighbors, ann_d2 = km.approx_nearest_neighbors(
+    mp_impl = mapper_fabric(cfg.mapper)
+    neighbors, ann_d2 = mp_impl.approx_nearest_neighbors(
         state.map, fixed, return_d2=True, radius=cfg.mapper.ann_search_radius
     )
     neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
@@ -325,7 +327,7 @@ def step(
                 radius=cfg.filtering.normals_radius_scale
                 * cfg.mapper.map_voxel_leaf,
             )
-            return km.insert_keyframe(mp, kf.transform(pose), cfg.mapper)
+            return mp_impl.insert_keyframe(mp, kf.transform(pose), cfg.mapper)
     else:
         world_scan = scan.transform(pose)
 
@@ -333,7 +335,7 @@ def step(
         # is the prediction, off from the final pose by the measurement
         # correction (~cm), which only jitters the leaf-boundary decision.
         def do_insert(mp):
-            return km.insert_keyframe(
+            return mp_impl.insert_keyframe(
                 mp, world_scan, cfg.mapper, nearest_d2=ann_d2
             )
 
@@ -354,7 +356,7 @@ def step(
         want_refresh = moved_msw & slow & (new_map.num_keyframes > 0)
         new_map = lax.cond(
             want_refresh,
-            lambda mp: km.refresh_msw(mp, pos, cfg.mapper),
+            lambda mp: mp_impl.refresh_msw(mp, pos, cfg.mapper),
             lambda mp: mp,
             new_map,
         )
@@ -395,7 +397,7 @@ def step(
         voxel_leaf=state.voxel_leaf,
         odom_iterations=odo.icp.iterations,
         loc_iterations=meas.icp.iterations,
-        map_size=km.map_size(new_map),
+        map_size=mp_impl.map_size(new_map),
     )
     return new_state, out
 
@@ -425,12 +427,21 @@ def init_with_gt_map(
         pc = normals_op.estimate_normals(pc, k=cfg.filtering.normals_k)
     from locus_tpu.ops.pallas.nn import build_nn_target
 
-    new_map = state.map._replace(
-        cloud=pc,
-        write_ptr=pc.count().astype(jnp.int32) % cfg.mapper.map_capacity,
-        num_keyframes=jnp.asarray(1, jnp.int32),
-        nn_aug=build_nn_target(pc.xyz),
-    )
+    if cfg.mapper.structure == "voxel_hash":
+        new_map = state.map._replace(
+            cloud=pc,
+            keys=jnp.floor(pc.xyz / cfg.mapper.map_voxel_leaf).astype(jnp.int32),
+            occupied=pc.mask,
+            num_keyframes=jnp.asarray(1, jnp.int32),
+            nn_aug=build_nn_target(pc.xyz),
+        )
+    else:
+        new_map = state.map._replace(
+            cloud=pc,
+            write_ptr=pc.count().astype(jnp.int32) % cfg.mapper.map_capacity,
+            num_keyframes=jnp.asarray(1, jnp.int32),
+            nn_aug=build_nn_target(pc.xyz),
+        )
     return state._replace(map=new_map)
 
 

@@ -74,3 +74,108 @@ def test_ring_overwrite():
         st = km.insert_keyframe(st, grid_cloud(10.0 * i), cfg)
     # capacity bounded
     assert int(km.map_size(st)) <= 128
+
+
+# ---------------------------------------------------------------------------
+# voxel_hash structure (mapper registry second backend)
+# ---------------------------------------------------------------------------
+
+def test_mapper_fabric_resolves():
+    import pytest
+
+    from locus_tpu.mapping import keyframe_map, voxel_hash_map
+    from locus_tpu.mapping.registry import mapper_fabric
+
+    assert mapper_fabric("ring") is keyframe_map
+    assert mapper_fabric("voxel_hash") is voxel_hash_map
+    assert mapper_fabric(CFG) is keyframe_map
+    with pytest.raises(ValueError):
+        mapper_fabric("octree3000")
+
+
+def test_voxel_hash_insert_dedupes():
+    from locus_tpu.mapping import voxel_hash_map as vh
+
+    st = vh.init_map(CFG)
+    kf = grid_cloud()
+    st = vh.insert_keyframe(st, kf, CFG)
+    n1 = int(vh.map_size(st))
+    assert n1 > 0
+    # same cloud again: every point lands in an already-occupied voxel
+    st = vh.insert_keyframe(st, kf, CFG)
+    assert int(vh.map_size(st)) == n1
+    # same-voxel retention: snap to voxel centers, then jitter << leaf/2
+    # (guaranteed same voxel); the ORIGINAL points must be kept
+    leaf = CFG.map_voxel_leaf
+    centers = (np.floor(np.asarray(kf.xyz) / leaf) + 0.5) * leaf
+    snapped = PointCloud(
+        jnp.where(kf.mask[:, None], jnp.asarray(centers, jnp.float32), kf.xyz),
+        kf.normals, kf.intensity, kf.mask,
+    )
+    st3 = vh.insert_keyframe(vh.init_map(CFG), snapped, CFG)
+    n3 = int(vh.map_size(st3))
+    jittered = PointCloud(
+        snapped.xyz + 0.2 * leaf, snapped.normals, snapped.intensity, snapped.mask
+    )
+    st4 = vh.insert_keyframe(st3, jittered, CFG)
+    assert int(vh.map_size(st4)) == n3
+    m = np.asarray(st4.cloud.mask)
+    a = np.sort(np.asarray(st3.cloud.xyz)[m], axis=0)
+    b = np.sort(np.asarray(st4.cloud.xyz)[m], axis=0)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_voxel_hash_msw_frees_slots():
+    from locus_tpu.mapping import voxel_hash_map as vh
+
+    st = vh.init_map(CFG)
+    st = vh.insert_keyframe(st, grid_cloud(0.0), CFG)
+    st = vh.insert_keyframe(st, grid_cloud(100.0), CFG)
+    n_both = int(vh.map_size(st))
+    st = vh.refresh_msw(st, jnp.asarray([2.5, 2.5, 2.5]), CFG)
+    n_near = int(vh.map_size(st))
+    assert 0 < n_near < n_both
+    # the far slots are reusable: inserting the far cloud again restores it
+    st = vh.insert_keyframe(st, grid_cloud(100.0), CFG)
+    assert int(vh.map_size(st)) > n_near
+
+
+def test_voxel_hash_ann_matches_ring():
+    from locus_tpu.mapping import voxel_hash_map as vh
+
+    kf = grid_cloud()
+    ring = km.insert_keyframe(km.init_map(CFG), kf, CFG)
+    hsh = vh.insert_keyframe(vh.init_map(CFG), kf, CFG)
+    q = grid_cloud(0.5)
+    nb_r, d2_r = km.approx_nearest_neighbors(ring, q, return_d2=True)
+    nb_h, d2_h = vh.approx_nearest_neighbors(hsh, q, return_d2=True)
+    # both stores hold (a dedup of) the same keyframe; nearest distances
+    # agree within the dedup resolution
+    finite = np.isfinite(np.asarray(d2_r)) & np.isfinite(np.asarray(d2_h))
+    assert finite.sum() > 50
+    diff = np.abs(np.sqrt(np.asarray(d2_r)[finite]) - np.sqrt(np.asarray(d2_h)[finite]))
+    assert diff.max() < 2 * CFG.map_voxel_leaf
+
+
+def test_voxel_hash_pipeline_e2e():
+    import dataclasses
+
+    from locus_tpu.config import FilterConfig, LocusConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.metrics import ate_rmse
+    from locus_tpu.runner import run_sequence
+
+    cfg = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=4096,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(body_filter=True, normals_k=12),
+        mapper=dataclasses.replace(
+            CFG, map_capacity=8192, keyframe_capacity=1024, structure="voxel_hash"
+        ),
+    )
+    seq = make_tunnel_sequence(num_scans=10, azimuth_steps=256, step=0.3, seed=3)
+    poses, outputs, _ = run_sequence(seq, cfg)
+    ate = ate_rmse(poses[:, :3, 3], seq.gt_poses[:10, :3, 3], align=False)
+    assert ate < 0.2, ate
+    assert outputs[-1]["map_size"] > 0
