@@ -34,18 +34,26 @@ class MapState(NamedTuple):
     nn_aug: jnp.ndarray            # (AUG, m_pad) cached NN operand — the
     # (M,3)->(AUG,M) relayout costs ~3 ms per call at 131k on TPU, so it
     # is maintained across scans (incremental on insert, rebuilt on MSW)
+    chunk_min: jnp.ndarray         # (C,3) cached per-chunk bbox minima
+    chunk_max: jnp.ndarray         # (C,3) maxima — grown on insert
+    # (conservative under ring overwrites), rebuilt exactly on MSW;
+    # saves the full 131k bbox reduction every ANN call
 
 
 def init_map(cfg: MapperConfig) -> MapState:
-    from locus_tpu.ops.pallas.nn import build_nn_target
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
 
     cloud = PointCloud.empty(cfg.map_capacity)
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
     return MapState(
         cloud=cloud,
         write_ptr=jnp.asarray(0, jnp.int32),
         num_keyframes=jnp.asarray(0, jnp.int32),
         last_refresh_position=jnp.zeros((3,), jnp.float32),
-        nn_aug=build_nn_target(cloud.xyz),
+        nn_aug=nn_aug,
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 
@@ -56,11 +64,11 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
     from locus_tpu.ops.dispatch import pallas_allowed
 
     if pallas_allowed() and query_xyz.shape[0] >= 128:
-        from locus_tpu.ops.pallas.nn import nearest_pallas_bounded
+        from locus_tpu.ops.pallas.nn import nearest_pallas_bounded_pre
 
-        return nearest_pallas_bounded(
+        return nearest_pallas_bounded_pre(
             query_xyz, state.nn_aug, state.cloud.xyz,
-            target_mask=state.cloud.mask, radius=radius,
+            state.chunk_min, state.chunk_max, radius,
         )
     d2, idx = neighbors.nearest(query_xyz, state.cloud.xyz)
     return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
@@ -93,7 +101,7 @@ def insert_keyframe(
     # entries are not clobbered by padding.
     write_idx = jnp.where(kf.mask, slot, cap)    # cap = out of range -> drop
 
-    from locus_tpu.ops.pallas.nn import update_nn_target
+    from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
 
     cloud = state.cloud
     new_cloud = PointCloud(
@@ -103,12 +111,17 @@ def insert_keyframe(
         cloud.mask.at[write_idx].set(kf.mask, mode="drop"),
     )
     nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, kf.mask)
+    c_min, c_max = update_chunk_boxes(
+        state.chunk_min, state.chunk_max, write_idx, kf.xyz, kf.mask
+    )
     return MapState(
         cloud=new_cloud,
         write_ptr=(state.write_ptr + n_novel.astype(jnp.int32)) % cap,
         num_keyframes=state.num_keyframes + 1,
         last_refresh_position=state.last_refresh_position,
         nn_aug=nn_aug,
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 
@@ -119,16 +132,20 @@ def refresh_msw(
     evict stored points outside a box_filter_size box centered on the
     robot. Caller decides *when* (moved > translation_threshold_msw and
     velocity low — pipeline.py)."""
-    from locus_tpu.ops.pallas.nn import build_nn_target
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
 
     half = cfg.box_filter_size * 0.5
     inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
     keep = state.cloud.mask & inside
     cloud = state.cloud.with_mask(keep)
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
     return state._replace(
         cloud=cloud,
         last_refresh_position=position,
-        nn_aug=build_nn_target(cloud.xyz),
+        nn_aug=nn_aug,
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 

@@ -41,19 +41,25 @@ class HashMapState(NamedTuple):
     num_keyframes: jnp.ndarray      # int32
     last_refresh_position: jnp.ndarray  # (3,)
     nn_aug: jnp.ndarray             # cached (AUG, m_pad) NN operand
+    chunk_min: jnp.ndarray          # (C,3) cached per-chunk bbox minima
+    chunk_max: jnp.ndarray          # (C,3) maxima (see keyframe_map)
 
 
 def init_map(cfg: MapperConfig) -> HashMapState:
-    from locus_tpu.ops.pallas.nn import build_nn_target
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
 
     cloud = PointCloud.empty(cfg.map_capacity)
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
     return HashMapState(
         cloud=cloud,
         keys=jnp.zeros((cfg.map_capacity, 3), jnp.int32),
         occupied=jnp.zeros((cfg.map_capacity,), bool),
         num_keyframes=jnp.asarray(0, jnp.int32),
         last_refresh_position=jnp.zeros((3,), jnp.float32),
-        nn_aug=build_nn_target(cloud.xyz),
+        nn_aug=nn_aug,
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 
@@ -90,7 +96,7 @@ def insert_keyframe(
     write = keyframe.mask & ~same_voxel
     idx = jnp.where(write, slot, cap)       # cap = out of range -> dropped
 
-    from locus_tpu.ops.pallas.nn import update_nn_target
+    from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
 
     cloud = state.cloud
     new_cloud = PointCloud(
@@ -99,6 +105,9 @@ def insert_keyframe(
         cloud.intensity.at[idx].set(keyframe.intensity, mode="drop"),
         cloud.mask.at[idx].set(True, mode="drop"),
     )
+    c_min, c_max = update_chunk_boxes(
+        state.chunk_min, state.chunk_max, idx, keyframe.xyz, write
+    )
     return HashMapState(
         cloud=new_cloud,
         keys=state.keys.at[idx].set(ijk, mode="drop"),
@@ -106,6 +115,8 @@ def insert_keyframe(
         num_keyframes=state.num_keyframes + 1,
         last_refresh_position=state.last_refresh_position,
         nn_aug=update_nn_target(state.nn_aug, idx, keyframe.xyz, write),
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 
@@ -113,17 +124,21 @@ def refresh_msw(
     state: HashMapState, position: jnp.ndarray, cfg: MapperConfig
 ) -> HashMapState:
     """Refresh: evict slots outside the MSW box (frees them for reuse)."""
-    from locus_tpu.ops.pallas.nn import build_nn_target
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
 
     half = cfg.box_filter_size * 0.5
     inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
     keep = state.cloud.mask & inside
     cloud = state.cloud.with_mask(keep)
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
     return state._replace(
         cloud=cloud,
         occupied=keep,
         last_refresh_position=position,
-        nn_aug=build_nn_target(cloud.xyz),
+        nn_aug=nn_aug,
+        chunk_min=c_min,
+        chunk_max=c_max,
     )
 
 

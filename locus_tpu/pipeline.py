@@ -425,22 +425,28 @@ def init_with_gt_map(
     )
     if map_normals is None:
         pc = normals_op.estimate_normals(pc, k=cfg.filtering.normals_k)
-    from locus_tpu.ops.pallas.nn import build_nn_target
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
 
+    nn_aug = build_nn_target(pc.xyz)
+    c_min, c_max = chunk_boxes(pc.xyz, pc.mask, nn_aug.shape[1])
     if cfg.mapper.structure == "voxel_hash":
         new_map = state.map._replace(
             cloud=pc,
             keys=jnp.floor(pc.xyz / cfg.mapper.map_voxel_leaf).astype(jnp.int32),
             occupied=pc.mask,
             num_keyframes=jnp.asarray(1, jnp.int32),
-            nn_aug=build_nn_target(pc.xyz),
+            nn_aug=nn_aug,
+            chunk_min=c_min,
+            chunk_max=c_max,
         )
     else:
         new_map = state.map._replace(
             cloud=pc,
             write_ptr=pc.count().astype(jnp.int32) % cfg.mapper.map_capacity,
             num_keyframes=jnp.asarray(1, jnp.int32),
-            nn_aug=build_nn_target(pc.xyz),
+            nn_aug=nn_aug,
+            chunk_min=c_min,
+            chunk_max=c_max,
         )
     return state._replace(map=new_map)
 

@@ -346,20 +346,25 @@ def gicp_register(
     src0_normals = se3.rotate_vectors(guess, source.normals)
     corr_dist2 = cfg.corr_dist * cfg.corr_dist
 
-    # Hoist the NN operand build out of the outer while-loop (the target
-    # is loop-invariant; don't rely on XLA LICM) and use the pruned
-    # radius-bounded kernel — hits beyond corr_dist are gated anyway.
+    # Hoist the NN operand build AND the chunk bounding boxes out of the
+    # outer while-loop (the target is loop-invariant; don't rely on XLA
+    # LICM) and use the pruned radius-bounded kernel — hits beyond
+    # corr_dist are gated anyway.
     from locus_tpu.ops.dispatch import pallas_allowed
 
     if pallas_allowed() and source.capacity >= 128:
-        from locus_tpu.ops.pallas.nn import build_nn_target, nearest_pallas_bounded
+        from locus_tpu.ops.pallas.nn import (
+            build_nn_target,
+            chunk_boxes,
+            nearest_pallas_bounded_pre,
+        )
 
         t_aug = build_nn_target(target.xyz)
+        c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
 
         def nearest_fn(p):
-            d2, j = nearest_pallas_bounded(
-                p, t_aug, target.xyz, target_mask=target.mask,
-                radius=float(cfg.corr_dist),
+            d2, j = nearest_pallas_bounded_pre(
+                p, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist)
             )
             return jnp.where(jnp.isfinite(d2), d2, 1e12), j
     else:

@@ -50,3 +50,65 @@ def test_fault_injection_cli(tmp_path):
     gt = seq.gt_poses[: poses.shape[0]]
     err = np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3])
     assert err < 0.2, err
+
+
+def test_gicp_on_reference_garage_scans():
+    """Real-data golden test (SURVEY §7.3): the reference's garage scan
+    pair (multithreaded_gicp/test/{query,reference}_82_garage.pcd — the
+    fixtures of test_same_output_different_num_threads.cpp) must register
+    with our batched GICP: converged, residual distance well below the
+    initial offset, and layout-invariant (same transform at different
+    padding capacities)."""
+    import os
+
+    import jax.numpy as jnp
+    import pytest
+
+    qp = "/root/reference/multithreaded_gicp/test/query_82_garage.pcd"
+    rp = "/root/reference/multithreaded_gicp/test/reference_82_garage.pcd"
+    if not (os.path.exists(qp) and os.path.exists(rp)):
+        pytest.skip("reference garage PCDs not available")
+
+    from locus_tpu.config import RegistrationConfig
+    from locus_tpu.core.cloud import PointCloud
+    from locus_tpu.geometry import se3
+    from locus_tpu.io import pcd
+    from locus_tpu.ops import normals as normals_op
+    from locus_tpu.registration.gicp import gicp_register
+
+    def load(path, capacity):
+        data = pcd.read_pcd(path)
+        xyz = np.stack(
+            [np.asarray(data[k], np.float32) for k in ("x", "y", "z")], axis=1
+        )
+        xyz = xyz[np.isfinite(xyz).all(axis=1)]
+        pc = PointCloud.from_points(xyz, capacity=capacity)
+        return normals_op.estimate_normals(pc, k=20)
+
+    cfg = RegistrationConfig(corr_dist=1.0, iterations=30)
+
+    # query is 811 points, reference 8112 (partial-overlap real scans)
+    ref = load(rp, 8192)
+    results = {}
+    for cap in (1024, 2048):
+        query = load(qp, cap)
+        res = gicp_register(query, ref, cfg=cfg)
+        assert bool(res.converged), cap
+        assert int(res.num_correspondences) > 300, int(res.num_correspondences)
+        assert float(res.fitness) < 0.5, float(res.fitness)
+        results[cap] = np.asarray(res.transform)
+
+    # padding invariance on real data (the thread-count determinism
+    # contract, test_same_output_different_num_threads.cpp:50-90)
+    np.testing.assert_allclose(results[1024], results[2048], atol=1e-4)
+
+    # and the recovered motion must beat the un-registered baseline
+    query = load(qp, 1024)
+    from locus_tpu.ops import neighbors
+
+    d2_0, _ = neighbors.nearest(query.xyz, ref.xyz)
+    before = float(jnp.mean(jnp.where(query.mask, jnp.sqrt(d2_0), 0.0)))
+    moved = query.transform(jnp.asarray(results[1024]))
+    d2_1, _ = neighbors.nearest(moved.xyz, ref.xyz)
+    after = float(jnp.mean(jnp.where(moved.mask, jnp.sqrt(d2_1), 0.0)))
+    assert after < before
