@@ -48,6 +48,11 @@ class RegistrationConfig:
     ndt_resolution: float = 1.0
     ndt_step_size: float = 0.1
     levenberg_lambda: float = 1e-6     # GN damping (not in reference; tiny)
+    # NDT optimizer: "irls" reshapes the solve as iteratively-reweighted
+    # GN (batched; TPU default), "newton" follows the reference's
+    # Newton-direction + line-search scheme (ndt_omp_impl.hpp
+    # computeDerivatives/computeStepLengthMT) on the SE(3) tangent.
+    ndt_optimizer: str = "irls"
 
     @staticmethod
     def localization_default() -> "RegistrationConfig":

@@ -12,17 +12,20 @@ voxel_grid_covariance_omp_impl.hpp):
   per-point voxel neighborhood lookup      MXU 1-NN against voxel centers
   (KDTREE/DIRECT26/DIRECT7/DIRECT1,        (nearest Gaussian component),
   ndt_omp.h:51)                            gated by 1.5x resolution
-  Newton + More-Thuente line search        iteratively-reweighted GN: the
-  on the NDT score                         Gaussian score weight w_i =
-  (ndt_omp_impl:253-341, 888-1060)         exp(-0.5 gauss_d2 r^T Sigma^-1 r)
-                                           reweights a batched Mahalanobis
-                                           GN step (no line search needed —
-                                           the weight caps step influence)
+  Newton + More-Thuente line search        TWO optimizer modes
+  on the NDT score                         (cfg.ndt_optimizer):
+  (ndt_omp_impl:253-341, 888-1060)         "irls" (default): the Gaussian
+                                           score weight reweights a
+                                           batched Mahalanobis GN step —
+                                           reshaped for batched hardware;
+                                           "newton": the reference's
+                                           Newton-direction + line-search
+                                           scheme on the SE(3) tangent
+                                           (_newton_step_comps)
 
-The per-voxel Gaussian model and the gated score are the same; the
-optimizer is reshaped for batched hardware (IRLS-GN instead of scalar
-Newton/line-search). Convergence uses the same epsilon-scaled
-elementwise transform-delta test as GICP.
+The per-voxel Gaussian model and the gated score are the same in both
+modes. Convergence uses the same epsilon-scaled elementwise
+transform-delta test as GICP.
 """
 from __future__ import annotations
 
@@ -42,6 +45,7 @@ from locus_tpu.registration.gicp import (
     _gauss_newton_step_comps,
     _scaled_delta,
     _sym3_from_mats,
+    _sym3_vec,
 )
 from locus_tpu.registration.registry import register_method
 
@@ -93,6 +97,121 @@ def build_ndt_targets(
     valid = counts >= float(min_points_per_voxel)
     means = jnp.where(valid[:, None], mu, PAD_COORD)
     return NDTTargets(means=means, icovs=icov, valid=valid)
+
+
+def _newton_step_comps(p_cur, src0f, mu, M, w_gate, gauss_d1, gauss_d2, lm):
+    """One Newton direction + Armijo-backtracking step on the NDT score,
+    the reference's optimizer scheme (ndt_omp_impl.hpp computeDerivatives
+    :253-341 + computeStepLengthMT :888-1060) re-based onto the SE(3)
+    tangent so every per-point quantity is a fused (N,) expression.
+
+    Objective (minimized): F(xi) = sum_i d1 * exp(-d2/2 * r^T B r),
+    r = exp(xi) p_i - mu_i (d1 < 0, so descent = raising the score).
+    With J = [I | -skew(p)] and u_i = J^T B r:
+        g = sum c_i u_i,                     c_i = -d1 d2 e_i >= 0
+        H = sum c_i (J^T B J - d2 u u^T)     (point-Hessian term of the
+            Euler parametrization has no tangent-space analog at xi=0
+            and is dropped, as in most NDT implementations)
+    The line search replaces More-Thuente's interval machine with
+    5-candidate Armijo backtracking on the true score — the reference
+    itself notes 'most step calculations use the initial step
+    suggestion' (ndt_omp_impl.hpp:963-966); correspondences are held
+    fixed within the outer iteration.
+
+    Returns the accepted tangent step (6,).
+    """
+    px, py, pz = p_cur[:, 0], p_cur[:, 1], p_cur[:, 2]
+    rx = px - mu[:, 0]
+    ry = py - mu[:, 1]
+    rz = pz - mu[:, 2]
+    Br = _sym3_vec(M, rx, ry, rz)
+    m = rx * Br[0] + ry * Br[1] + rz * Br[2]
+    e = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(m, 50.0))
+    c = jnp.maximum(-gauss_d1, 1e-12) * gauss_d2 * e * w_gate  # (N,) >= 0
+
+    # u = J^T B r = [Br ; p x Br]
+    u0, u1, u2 = Br
+    u3 = py * u2 - pz * u1
+    u4 = pz * u0 - px * u2
+    u5 = px * u1 - py * u0
+    u = (u0, u1, u2, u3, u4, u5)
+
+    def s(x):
+        return jnp.sum(x)
+
+    g = jnp.asarray([s(c * ui) for ui in u])
+
+    # H part 1: sum c * J^T B J (same block structure as the GICP GN)
+    Mw = tuple(mm * c for mm in M)
+    m00, m01, m02, m11, m12, m22 = Mw
+    b00 = m01 * pz - m02 * py
+    b10 = m11 * pz - m12 * py
+    b20 = m12 * pz - m22 * py
+    b01 = -m00 * pz + m02 * px
+    b11 = -m01 * pz + m12 * px
+    b21 = -m02 * pz + m22 * px
+    b02 = m00 * py - m01 * px
+    b12 = m01 * py - m11 * px
+    b22 = m02 * py - m12 * px
+    c00 = -(-pz * b10 + py * b20)
+    c01 = -(-pz * b11 + py * b21)
+    c02 = -(-pz * b12 + py * b22)
+    c11 = -(pz * b01 - px * b21)
+    c12 = -(pz * b02 - px * b22)
+    c22 = -(-py * b02 + px * b12)
+    H_tt = jnp.asarray(
+        [[s(m00), s(m01), s(m02)], [s(m01), s(m11), s(m12)], [s(m02), s(m12), s(m22)]]
+    )
+    H_tw = -jnp.asarray(
+        [[s(b00), s(b01), s(b02)], [s(b10), s(b11), s(b12)], [s(b20), s(b21), s(b22)]]
+    )
+    H_ww = jnp.asarray(
+        [[s(c00), s(c01), s(c02)], [s(c01), s(c11), s(c12)], [s(c02), s(c12), s(c22)]]
+    )
+    H = jnp.block([[H_tt, H_tw], [H_tw.T, H_ww]])
+    # H part 2: -d2 * sum c * u u^T
+    cu = c * gauss_d2
+    H_outer = jnp.asarray(
+        [[s(cu * u[a] * u[b]) for b in range(6)] for a in range(6)]
+    )
+    H = H - H_outer
+    H = H + (lm + 1e-6) * jnp.maximum(jnp.trace(jnp.abs(H)) / 6.0, 1.0) * jnp.eye(6)
+    # H may be indefinite (the -d2 u u^T term); solve with LU and flip
+    # the direction when it is not descent — exactly the reference's
+    # 'Not a decent direction -> reverse step direction' handling
+    # (computeStepLengthMT, ndt_omp_impl.hpp:904-913).
+    delta = -jnp.linalg.solve(H, g)
+    delta = jnp.where(jnp.any(~jnp.isfinite(delta)), -g, delta)
+    gTd0 = jnp.dot(g, delta)
+    delta = jnp.where(gTd0 > 0, -delta, delta)
+    # Step-norm cap (the reference clamps the line search to step_max =
+    # step_size): one Newton step moves at most ~10x the configured
+    # step size; the outer loop supplies the rest.
+    cap = 10.0 * 0.1
+    nrm = jnp.linalg.norm(delta)
+    delta = delta * jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-12))
+
+    # F(alpha) for 5 backtracking candidates; accept the first Armijo-
+    # sufficient one (else the smallest step).
+    d1w = gauss_d1 * w_gate
+    F0 = jnp.sum(d1w * e)
+    gTd = jnp.dot(g, delta)
+
+    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625], jnp.float32)
+
+    def score_at(alpha):
+        T_a = se3.se3_exp(alpha * delta)
+        p_a = se3.transform_points(T_a, p_cur)
+        ra = p_a - mu
+        Bra = _sym3_vec(M, ra[:, 0], ra[:, 1], ra[:, 2])
+        ma = ra[:, 0] * Bra[0] + ra[:, 1] * Bra[1] + ra[:, 2] * Bra[2]
+        return jnp.sum(d1w * jnp.exp(-0.5 * gauss_d2 * jnp.minimum(ma, 50.0)))
+
+    Fs = jax.vmap(score_at)(alphas)
+    ok = Fs <= F0 + 1e-4 * alphas * gTd
+    first = jnp.argmax(ok)                 # first True, 0 if none
+    alpha = jnp.where(jnp.any(ok), alphas[first], alphas[-1])
+    return alpha * delta
 
 
 def ndt_register(
@@ -154,13 +273,26 @@ def ndt_register(
         src0f = jnp.repeat(src0, K, axis=0)
         M = _sym3_from_mats(icov)
 
-        def inner_body(_, T_in):
-            p_cur = se3.transform_points(T_in, src0f)
+        if cfg.ndt_optimizer == "newton":
+            # Reference scheme: one Newton direction + line search per
+            # outer iteration (computeDerivatives + computeStepLengthMT).
+            p_cur = se3.transform_points(T, src0f)
             p_cur = jnp.where(maskf[:, None], p_cur, mu)
-            dx = _gauss_newton_step_comps(p_cur, mu, M, w, cfg.levenberg_lambda)
-            return se3.compose(se3.se3_exp(dx), T_in)
+            step = _newton_step_comps(
+                p_cur, src0f, mu, M, w_gate, gauss_d1, gauss_d2,
+                cfg.levenberg_lambda,
+            )
+            T_new = se3.compose(se3.se3_exp(step), T)
+        else:
+            def inner_body(_, T_in):
+                p_cur = se3.transform_points(T_in, src0f)
+                p_cur = jnp.where(maskf[:, None], p_cur, mu)
+                dx = _gauss_newton_step_comps(
+                    p_cur, mu, M, w, cfg.levenberg_lambda
+                )
+                return se3.compose(se3.se3_exp(dx), T_in)
 
-        T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
+            T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
         T_new = se3.make_transform(
             se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
         )

@@ -58,3 +58,54 @@ def test_registry_dispatches_ndt():
     src = room_cloud()
     res = align(src, src)
     np.testing.assert_allclose(np.asarray(res.transform), np.eye(4), atol=0.02)
+
+
+def test_ndt_newton_optimizer_recovers_transform():
+    """The reference-scheme optimizer (Newton direction + line search,
+    ndt_omp_impl.hpp computeDerivatives/computeStepLengthMT) must recover
+    the same synthetic offsets as the IRLS mode."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from locus_tpu.geometry import se3
+    from locus_tpu.registration.ndt import ndt_register
+
+    target = room_cloud(seed=0)
+    true_shift = jnp.asarray([0.12, -0.08, 0.05], jnp.float32)
+    src_xyz = target.xyz - true_shift[None, :]
+    source = PointCloud(
+        jnp.where(target.mask[:, None], src_xyz, target.xyz),
+        target.normals, target.intensity, target.mask,
+    )
+    base = RegistrationConfig(iterations=30, corr_dist=1.0, ndt_resolution=0.8)
+    cfg = dataclasses.replace(base, ndt_optimizer="newton")
+    res = ndt_register(source, target, cfg=cfg)
+    got = se3.translation(res.transform)
+    err = float(jnp.linalg.norm(got - true_shift))
+    # voxel-quantization bias bounds accuracy (~0.03 at this geometry for
+    # the IRLS mode too); the optimizers must agree with each other
+    assert err < 0.06, (err, np.asarray(got))
+    assert bool(res.converged)
+    res_irls = ndt_register(source, target, cfg=base)
+    agree = float(
+        jnp.linalg.norm(got - se3.translation(res_irls.transform))
+    )
+    assert agree < 0.02, agree
+
+    # small rotation + translation
+    ang = 0.06
+    R = jnp.asarray(
+        [[jnp.cos(ang), -jnp.sin(ang), 0.0],
+         [jnp.sin(ang), jnp.cos(ang), 0.0],
+         [0.0, 0.0, 1.0]], jnp.float32)
+    T_true = se3.make_transform(R, jnp.asarray([0.1, 0.05, -0.02]))
+    src2 = se3.transform_points(se3.inverse(T_true), target.xyz)
+    source2 = PointCloud(
+        jnp.where(target.mask[:, None], src2, target.xyz),
+        target.normals, target.intensity, target.mask,
+    )
+    res2 = ndt_register(source2, target, cfg=cfg)
+    d = se3.pose_delta(res2.transform, T_true)
+    assert float(se3.translation_norm(d)) < 0.05
+    assert float(se3.rotation_angle(se3.rotation(d))) < 0.03
