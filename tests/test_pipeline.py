@@ -225,10 +225,11 @@ def test_ndt_pipeline_e2e(tunnel_seq):
     assert ate < 0.4, ate
 
 
-@pytest.mark.parametrize("world", ["urban", "cave"])
+@pytest.mark.parametrize("world", ["urban", "cave", "loop"])
 def test_world_variants(world):
-    """Replay regression across environment types (urban/cave analogs of
-    the nebula dataset matrix; tunnel is covered by the other tests)."""
+    """Replay regression across environment types (urban/cave/loop
+    analogs of the nebula dataset matrix; tunnel is covered by the other
+    tests)."""
     from locus_tpu.io.dataset import make_world_sequence
     from locus_tpu.metrics import ate_rmse as _ate
 

@@ -37,9 +37,20 @@ def main():
         mapper=MapperConfig(map_capacity=1 << 17, keyframe_capacity=4096),
     )
     results = {}
-    for world in ("tunnel", "urban", "cave"):
+    for world in ("tunnel", "urban", "cave", "loop"):
         seq = make_world_sequence(world, num_scans=args.scans, azimuth_steps=args.azimuth)
-        poses, outputs, report = run_sequence(seq, cfg, collect_outputs=False)
+        backend = None
+        if world == "loop":
+            # revisit scenario: online pose-graph backend with GICP-
+            # verified loop closures corrects the front end in flight
+            from locus_tpu.backend import PoseGraphBackend
+
+            backend = PoseGraphBackend(
+                loop_distance=2.5, min_index_gap=8, loop_fitness_max=0.12
+            )
+        poses, outputs, report = run_sequence(
+            seq, cfg, collect_outputs=False, backend=backend
+        )
         gt = seq.gt_poses[: poses.shape[0]]
         t_rpe, r_rpe = rpe(poses, gt)
         results[world] = {
@@ -48,6 +59,8 @@ def main():
             "rpe_r_deg": round(float(np.degrees(r_rpe)), 4),
             "distance_m": round(args.scans * 0.35, 1),
         }
+        if backend is not None:
+            results[world]["loop_closures"] = backend.loops_found
     print(json.dumps(results, indent=2))
     if args.json:
         with open(args.json, "w") as f:
