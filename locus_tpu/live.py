@@ -45,6 +45,15 @@ class LiveSession:
     # preprocessed scan as PCD every N scans (0 = off)
     debug_dump_dir: Optional[str] = None
     debug_dump_every: int = 20
+    # Host-side pre-voxelization (the reference's topology: the
+    # CustomVoxelGrid nodelet downsamples UPSTREAM of Locus, with the
+    # adaptive leaf fed back by topic, Locus.cc:780-810 +
+    # custom_voxel_grid.cc:62-74). When on, incoming scans are voxelized
+    # on the host (native C++ lib) at HALF the current adaptive leaf
+    # before packing — the device grid at the full leaf stays decisive,
+    # so accuracy semantics are preserved while the device-side sort
+    # runs on ~8x fewer points.
+    host_prevoxelize: bool = False
 
     def __post_init__(self):
         self._rstep = make_replay_step(self.cfg)
@@ -93,9 +102,20 @@ class LiveSession:
         from locus_tpu.runner import pack_scan
 
         with self.timer.time("lidar_callback"):
+            xyz = np.asarray(xyz, np.float32)
+            valid_arr = np.ones(len(xyz), bool) if valid is None else np.asarray(valid, bool)
+            if self.host_prevoxelize:
+                from locus_tpu import native
+
+                leaf = float(np.asarray(self.state.voxel_leaf))
+                down = native.voxel_downsample(
+                    xyz[valid_arr], max(leaf * 0.5, 1e-3),
+                    capacity=self.cfg.raw_scan_capacity,
+                )
+                xyz, valid_arr = down, np.ones(len(down), bool)
             packed_xyz, mask = pack_scan(
-                np.asarray(xyz, np.float32),
-                np.ones(len(xyz), bool) if valid is None else valid,
+                xyz,
+                valid_arr,
                 self.cfg.raw_scan_capacity,
             )
             imu_s, imu_q = self._drain(self._imu_queue, self.imu_window, (4,))

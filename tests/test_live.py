@@ -86,3 +86,30 @@ def test_live_debug_dumps(tmp_path, seq):
     files = os.listdir(tmp_path / "dumps")
     assert any(f.startswith("scan_") for f in files)
     assert any(f.startswith("map_") for f in files)
+
+
+def test_live_host_prevoxelize_tracks():
+    """Host pre-voxelization (the reference's upstream CustomVoxelGrid
+    topology) must preserve tracking: same sequence, prevoxelized vs
+    not, both cm-class; the prevoxelized session feeds fewer raw points."""
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.live import LiveSession
+    from locus_tpu.metrics import ate_rmse
+
+    seq = make_tunnel_sequence(num_scans=8, azimuth_steps=256, step=0.3, seed=2)
+    cfg = small_cfg()
+    results = {}
+    for pre in (False, True):
+        sess = LiveSession(cfg, host_prevoxelize=pre)
+        poses = []
+        for i in range(len(seq)):
+            pose, out = sess.process_scan(
+                float(seq.stamps[i]), seq.scans[i], seq.scan_valid[i]
+            )
+            poses.append(pose)
+        poses = np.stack(poses)
+        results[pre] = ate_rmse(
+            poses[:, :3, 3], seq.gt_poses[: len(seq), :3, 3], align=False
+        )
+    assert results[True] < 0.15, results
+    assert results[False] < 0.15, results
