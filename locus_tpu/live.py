@@ -173,6 +173,80 @@ class LiveSession:
             )
         return pose, out
 
+    # -- runtime reconfiguration --------------------------------------------
+    # The reference mutates parameters on a RUNNING system three ways
+    # (SURVEY §5.6): dynamic_reconfigure on the filter nodelets
+    # (BodyFilter/CustomVoxelGrid/NormalComputation cfg/*.cfg), the
+    # `change_leaf_size` topic (custom_voxel_grid.cc:62-74), and
+    # SetIntegratedEstimate for external pose resets
+    # (PointCloudLocalization.h:114-117). TPU equivalents below.
+
+    # Fields whose values define state-array shapes or the state pytree
+    # structure; changing them mid-session would orphan self.state.
+    _STATE_SHAPE_FIELDS = (
+        "scan_capacity",
+        "raw_scan_capacity",
+        ("mapper", "map_capacity"),
+        ("mapper", "keyframe_capacity"),
+        ("mapper", "num_shards"),
+        ("mapper", "velocity_buffer_size"),
+        ("mapper", "structure"),
+        ("fusion", "imu_buffer_size"),
+        ("fusion", "odometry_buffer_size"),
+    )
+
+    def reconfigure(self, overlay: dict):
+        """Apply a nested parameter overlay to the running session
+        (dynamic_reconfigure analog, e.g. ``{"filtering": {"box_max":
+        [0.8, 0.8, 0.8]}}``). Takes effect from the next scan: the step
+        is re-jitted with the new constants (XLA caches per config, so
+        toggling between two profiles compiles each once). Fields that
+        define state shapes (capacities, buffer sizes, map structure)
+        cannot change on a live session and raise ValueError.
+        """
+        from locus_tpu.config import _update_dataclass
+
+        new_cfg = _update_dataclass(self.cfg, overlay)
+        for spec in self._STATE_SHAPE_FIELDS:
+            if isinstance(spec, tuple):
+                old = getattr(getattr(self.cfg, spec[0]), spec[1])
+                new = getattr(getattr(new_cfg, spec[0]), spec[1])
+                name = ".".join(spec)
+            else:
+                old, new, name = getattr(self.cfg, spec), getattr(new_cfg, spec), spec
+            if old != new:
+                raise ValueError(
+                    f"reconfigure cannot change state-shaping field {name!r} "
+                    f"on a live session ({old!r} -> {new!r}); start a new "
+                    "session (optionally resumed from a checkpoint)"
+                )
+        self.cfg = new_cfg
+        self._rstep = make_replay_step(new_cfg)
+
+    def set_voxel_leaf(self, leaf: float):
+        """Override the input-voxelization leaf size directly in device
+        state (the `change_leaf_size` topic actuator,
+        custom_voxel_grid.cc:62-74). The adaptive feedback law, if
+        enabled, continues from the new value on subsequent scans."""
+        leaf = float(
+            np.clip(leaf, self.cfg.voxel_leaf_min, self.cfg.voxel_leaf_max)
+        )
+        self.state = self.state._replace(
+            voxel_leaf=jnp.asarray(leaf, jnp.float32)
+        )
+
+    def set_pose(self, pose_4x4):
+        """External pose reset (SetIntegratedEstimate,
+        PointCloudLocalization.h:114-117): overwrite the integrated
+        estimate so an external pose-graph/SLAM backend can push
+        loop-closure corrections into the running front end."""
+        from locus_tpu import localization as loc_mod
+
+        pose = jnp.asarray(pose_4x4, jnp.float32)
+        self.state = self.state._replace(
+            loc=loc_mod.set_integrated_estimate(self.state.loc, pose)
+        )
+
     # -- lifecycle ---------------------------------------------------------
     def resume(self, path: str):
         """Restore a checkpointed session (elastic recovery)."""

@@ -88,6 +88,52 @@ def test_live_debug_dumps(tmp_path, seq):
     assert any(f.startswith("map_") for f in files)
 
 
+def test_live_reconfigure(seq):
+    """dynamic_reconfigure analog: non-shape params mutate on a running
+    session (re-jit, state preserved); shape-defining fields raise."""
+    sess = LiveSession(cfg=small_cfg(), initial_pose=seq.gt_poses[0])
+    sess.run(scan_stream(seq, 3))
+    # widen the body box + change the scan-to-scan corr gate live
+    sess.reconfigure(
+        {
+            "filtering": {"box_max": [0.8, 0.8, 0.8]},
+            "odometry": {"corr_dist": 0.8},
+        }
+    )
+    assert sess.cfg.filtering.box_max == (0.8, 0.8, 0.8)
+    for i in range(3, 8):
+        pose, _ = sess.process_scan(seq.stamps[i], seq.scans[i], seq.scan_valid[i])
+    err = np.linalg.norm(pose[:3, 3] - seq.gt_poses[7][:3, 3])
+    assert err < 0.2, err
+
+    with pytest.raises(ValueError, match="map_capacity"):
+        sess.reconfigure({"mapper": {"map_capacity": 1 << 14}})
+    with pytest.raises(ValueError, match="scan_capacity"):
+        sess.reconfigure({"scan_capacity": 2048})
+
+
+def test_live_set_voxel_leaf_and_pose(seq):
+    """change_leaf_size actuator + SetIntegratedEstimate pose reset."""
+    cfg = small_cfg().replace(b_adaptive_input_voxelization=False)
+    sess = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0])
+    sess.process_scan(seq.stamps[0], seq.scans[0], seq.scan_valid[0])
+    sess.set_voxel_leaf(0.5)
+    _, out_coarse = sess.process_scan(seq.stamps[1], seq.scans[1], seq.scan_valid[1])
+    assert float(out_coarse.voxel_leaf) == pytest.approx(0.5)
+    sess.set_voxel_leaf(0.05)
+    _, out_fine = sess.process_scan(seq.stamps[2], seq.scans[2], seq.scan_valid[2])
+    assert float(out_fine.voxel_leaf) == pytest.approx(0.05)
+    # coarser leaf -> fewer surviving points
+    assert int(out_coarse.num_points) < int(out_fine.num_points)
+
+    # external pose reset: next output pose is anchored at the new pose
+    jump = np.array(seq.gt_poses[3], np.float32).copy()
+    jump[:3, 3] += np.array([50.0, 0.0, 0.0], np.float32)
+    sess.set_pose(jump)
+    pose, _ = sess.process_scan(seq.stamps[3], seq.scans[3], seq.scan_valid[3])
+    assert np.linalg.norm(pose[:3, 3] - jump[:3, 3]) < 1.0
+
+
 def test_live_host_prevoxelize_tracks():
     """Host pre-voxelization (the reference's upstream CustomVoxelGrid
     topology) must preserve tracking: same sequence, prevoxelized vs
