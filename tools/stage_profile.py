@@ -1,0 +1,226 @@
+"""On-device per-stage timing of the scan step.
+
+The reference instruments per-phase wall time inside GICP
+(gicp.hpp:421-433 covariance/iteration/total splits) and per-callback
+duration (Locus.cc:426-428). Naive per-call timing on the remote TPU
+backend measures the HTTP relay, so each stage is repeated REPS times
+inside one jitted lax.fori_loop (with a data dependence threaded through
+the carry so XLA cannot hoist the body), and the cost is read off the
+fenced total divided by REPS.
+
+Stages (pipeline.step boundaries):
+  preprocess   crop -> voxel grid -> radius normals
+  s2s_gicp     odometry.update (scan-to-scan GICP, warm-started)
+  map_ann      mapper approx_nearest_neighbors (1-NN against map store)
+  s2m_gicp     localization.measurement_update (scan-to-submap GICP +
+               point-to-plane covariance)
+  full_step    the whole pipeline.step
+
+Usage: python tools/stage_profile.py [--cpu] [--reps N]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+import _pathsetup  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument("--scans", type=int, default=24, help="warmup replay length")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.core.cloud import PointCloud, PAD_COORD
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.mapping.registry import mapper_fabric
+    from locus_tpu import fusion, localization, odometry
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu and not args.cpu:
+        cfg = LocusConfig(
+            scan_capacity=4096,
+            raw_scan_capacity=32768,
+            points_to_process_in_callback=3000,
+            filtering=FilterConfig(normals_k=20),
+            mapper=MapperConfig(
+                map_capacity=1 << 17, keyframe_capacity=4096, map_voxel_leaf=0.15
+            ),
+        )
+        azimuth = 1800
+    else:
+        cfg = LocusConfig(
+            scan_capacity=1024,
+            raw_scan_capacity=8192,
+            points_to_process_in_callback=800,
+            filtering=FilterConfig(normals_k=12),
+            mapper=MapperConfig(
+                map_capacity=1 << 14, keyframe_capacity=1024, map_voxel_leaf=0.15
+            ),
+        )
+        azimuth = 512
+
+    # Build a realistic mid-run state: replay the tunnel so the map is
+    # populated and the adaptive leaf has settled.
+    seq = make_tunnel_sequence(
+        num_scans=args.scans, azimuth_steps=azimuth, step=0.35, seed=7
+    )
+    packed = pack_sequence(seq, cfg)
+    replay = make_scan_replay(cfg)
+    state0 = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+    # replay donates its state argument; deduplicate shared buffers first
+    state0 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state0)
+    state, _ = replay(state0, packed)
+    # np.asarray fetch, not block_until_ready: the relay backend's block
+    # can return before execution finishes (CLAUDE.md), and any pending
+    # work would be absorbed into the first timed stage.
+    np.asarray(state.previous_stamp)
+
+    # One raw scan (the next one in the stream) as stage input.
+    i = args.scans - 1
+    raw = PointCloud(
+        jnp.where(packed["scan_mask"][i][:, None], packed["scan_xyz"][i], PAD_COORD),
+        jnp.zeros_like(packed["scan_xyz"][i]),
+        jnp.zeros(cfg.raw_scan_capacity, jnp.float32),
+        packed["scan_mask"][i],
+    )
+    stamp = jnp.asarray(float(seq.stamps[i]), jnp.float32)
+    scan = pipeline.preprocess(raw, state.voxel_leaf, cfg)
+    sel = fusion.integrate_sensors(
+        state.fuse, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
+    )
+    odo = odometry.update(state.odom, scan, prior=sel.prior, cfg=cfg.odometry)
+    loc0 = localization.motion_update(state.loc, odo.state.incremental)
+    fixed = localization.transform_points_to_fixed_frame(loc0, scan)
+    mp_impl = mapper_fabric(cfg.mapper)
+    neighbors, _ = mp_impl.approx_nearest_neighbors(
+        state.map, fixed, return_d2=True, radius=cfg.mapper.ann_search_radius
+    )
+    neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
+    np.asarray(scan.xyz[0, 0]), np.asarray(neighbors_sensor.xyz[0, 0])
+
+    reps = args.reps
+
+    def timed(fn, *operands):
+        """Repeat fn(jitter, *operands) reps times inside one jit; the
+        carry perturbs a coordinate each rep so the body cannot hoist."""
+
+        @jax.jit
+        def loop(ops):
+            def body(k, acc):
+                out = fn(acc * 1e-9, *ops)
+                return acc + out
+
+            return lax.fori_loop(0, reps, body, jnp.asarray(0.0, jnp.float32))
+
+        np.asarray(loop(operands))  # compile + hard fence
+        t0 = time.perf_counter()
+        r = loop(operands)
+        np.asarray(r)  # fence (relay's block_until_ready can return early)
+        return (time.perf_counter() - t0) / reps
+
+    def f_pre(jit_eps, raw_, leaf):
+        pc = PointCloud(raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask)
+        out = pipeline.preprocess(pc, leaf, cfg)
+        return jnp.sum(jnp.where(out.mask, out.xyz[:, 0], 0.0))
+
+    def f_s2s(jit_eps, odom_state, scan_, prior):
+        pc = PointCloud(scan_.xyz + jit_eps, scan_.normals, scan_.intensity, scan_.mask)
+        r = odometry.update(odom_state, pc, prior=prior, cfg=cfg.odometry)
+        return r.state.integrated[0, 3]
+
+    def f_ann(jit_eps, mp, fixed_):
+        pc = PointCloud(fixed_.xyz + jit_eps, fixed_.normals, fixed_.intensity, fixed_.mask)
+        nb, d2 = mp_impl.approx_nearest_neighbors(
+            mp, pc, return_d2=True, radius=cfg.mapper.ann_search_radius
+        )
+        return jnp.sum(jnp.where(nb.mask, nb.xyz[:, 0], 0.0)) + jnp.sum(d2)
+
+    def f_s2m(jit_eps, loc_state, scan_, nbs):
+        pc = PointCloud(scan_.xyz + jit_eps, scan_.normals, scan_.intensity, scan_.mask)
+        meas = localization.measurement_update(
+            loc_state, pc, nbs, cfg=cfg.localization
+        )
+        return meas.state.integrated[0, 3] + meas.state.covariance[0, 0]
+
+    def f_full(jit_eps, st, raw_):
+        pc = PointCloud(raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask)
+        new_state, out = pipeline.step(st, pc, stamp, cfg)
+        return out.pose[0, 3] + out.covariance[0, 0]
+
+    # preprocess substages
+    from locus_tpu.ops import filters as filters_op
+    from locus_tpu.ops import normals as normals_op
+    from locus_tpu.ops import voxel as voxel_op
+
+    def f_voxel(jit_eps, raw_, leaf):
+        pc = PointCloud(raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask)
+        pc = filters_op.crop_box(
+            pc, cfg.filtering.box_min, cfg.filtering.box_max, negative=True
+        )
+        out = voxel_op.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
+        return jnp.sum(jnp.where(out.mask, out.xyz[:, 0], 0.0))
+
+    scan_nonorm = scan  # already has normals; timing normals on it is fine
+
+    def f_normals(jit_eps, pc_, leaf):
+        pc = PointCloud(pc_.xyz + jit_eps, jnp.zeros_like(pc_.normals), pc_.intensity, pc_.mask)
+        out = normals_op.estimate_normals_radius(
+            pc, radius=cfg.filtering.normals_radius_scale * leaf
+        )
+        return jnp.sum(jnp.where(out.mask, out.normals[:, 0], 0.0))
+
+    results = {
+        "preprocess": timed(f_pre, raw, state.voxel_leaf),
+        "pre_crop_voxel": timed(f_voxel, raw, state.voxel_leaf),
+        "pre_normals": timed(f_normals, scan_nonorm, state.voxel_leaf),
+        "s2s_gicp": timed(f_s2s, state.odom, scan, sel.prior),
+        "map_ann": timed(f_ann, state.map, fixed),
+        "s2m_gicp": timed(f_s2m, loc0, scan, neighbors_sensor),
+        "full_step": timed(f_full, state, raw),
+    }
+
+    # actual registration iteration counts at this state (informative:
+    # both loops early-exit on the scaled-delta test)
+    odo_now = odometry.update(state.odom, scan, prior=sel.prior, cfg=cfg.odometry)
+    meas_now = localization.measurement_update(
+        loc0, scan, neighbors_sensor, cfg=cfg.localization
+    )
+    iters = {
+        "s2s_iterations": int(np.asarray(odo_now.icp.iterations)),
+        "s2m_iterations": int(np.asarray(meas_now.icp.iterations)),
+    }
+    top = ("preprocess", "s2s_gicp", "map_ann", "s2m_gicp")
+    accounted = sum(results[k] for k in top)
+    report = {
+        "platform": jax.devices()[0].platform,
+        "reps": reps,
+        "map_points": int(np.asarray(mp_impl.map_size(state.map))),
+        "scan_points": int(np.asarray(scan.count())),
+        "stages_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
+        "accounted_ms": round(accounted * 1e3, 3),
+        "other_ms": round((results["full_step"] - accounted) * 1e3, 3),
+        **iters,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
