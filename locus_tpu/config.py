@@ -167,6 +167,9 @@ class MergerConfig:
     b_use_radius_filter: bool = False
     radius: float = 0.15
     radius_knn: int = 3
+    # upstream pcl/PassThrough per lidar (locus.launch:90-133: z ±100)
+    b_use_passthrough: bool = True
+    passthrough_limit: float = 100.0
 
 
 @dataclass(frozen=True)

@@ -69,6 +69,13 @@ def merge(
     transformed = []
     for i, (c, T) in enumerate(zip(clouds, extrinsics)):
         c = c.transform(jnp.asarray(T, jnp.float32))
+        # upstream pcl/PassThrough per lidar (locus.launch:90-133:
+        # z in ±passthrough_limit around base_link, the frame transform
+        # itself is the line above)
+        if cfg.b_use_passthrough:
+            c = filters.passthrough(
+                c, "z", -cfg.passthrough_limit, cfg.passthrough_limit
+            )
         c = c.with_mask(c.mask & alive[i])
         transformed.append(c)
     merged = cloud_lib.concatenate(transformed, capacity=capacity)

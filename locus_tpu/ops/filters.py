@@ -34,6 +34,25 @@ def crop_box(
     return cloud.with_mask(keep)
 
 
+def passthrough(
+    cloud: PointCloud,
+    field: str = "z",
+    limit_min: float = -100.0,
+    limit_max: float = 100.0,
+    negative: bool = False,
+) -> PointCloud:
+    """pcl::PassThrough semantics: keep points whose `field` coordinate
+    lies in [limit_min, limit_max] (negative=True inverts). The reference
+    runs one per lidar upstream of the merger (locus/launch/
+    locus.launch:90-133, filter_field_name z, limits ±100) — there
+    primarily as a frame transformer; the field filter itself is this."""
+    axis = {"x": 0, "y": 1, "z": 2}[field]
+    v = cloud.xyz[:, axis]
+    inside = (v >= limit_min) & (v <= limit_max)
+    keep = ~inside if negative else inside
+    return cloud.with_mask(keep)
+
+
 def random_sample(
     cloud: PointCloud, key: jax.Array, decimate_percentage: float
 ) -> PointCloud:

@@ -57,26 +57,34 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
     big = (_PACK_MAX + 1) * (_PACK_MAX + 1)
     key_xy = jnp.where(cloud.mask, key_xy, big)
     kz_key = jnp.where(cloud.mask, kz, _PACK_MAX + 1)
-    order = jnp.lexsort((kz_key, key_xy))
-    ijk = jnp.stack([key_xy, kz_key], axis=1)
-    ijk_s = ijk[order]
-    mask_s = cloud.mask[order]
-    xyz_s = jnp.where(mask_s[:, None], cloud.xyz[order], 0.0)
-    nrm_s = cloud.normals[order]
-    int_s = cloud.intensity[order]
 
-    is_new = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=0), axis=1)
+    # Keys ride the sort as operands (sorted keys fall out for free) and
+    # the whole payload moves in ONE (N,8) gather — row gathers dominate
+    # this op on TPU, so 5 separate gathers (keys/mask/xyz/normals/
+    # intensity) cost ~0.5 ms more than this at 32k points.
+    w0 = cloud.mask.astype(jnp.float32)
+    payload = jnp.concatenate(
+        [
+            w0[:, None],
+            cloud.xyz * w0[:, None],
+            cloud.normals * w0[:, None],
+            (cloud.intensity * w0)[:, None],
+        ],
+        axis=1,
+    )
+    iota = jnp.arange(n, dtype=jnp.int32)
+    key_xy_s, kz_s, order = jax.lax.sort(
+        (key_xy, kz_key, iota), num_keys=2
+    )
+    payload_s = payload[order]
+
+    is_new = (key_xy_s != jnp.roll(key_xy_s, 1)) | (kz_s != jnp.roll(kz_s, 1))
     is_new = is_new.at[0].set(True)
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,) segment ids
 
-    w = mask_s.astype(jnp.float32)
     # ONE wide (N,8) scatter-add instead of four separate segment_sums —
     # the scatters dominate the downsample cost on TPU (~2x faster).
-    payload = jnp.concatenate(
-        [w[:, None], xyz_s * w[:, None], nrm_s * w[:, None], (int_s * w)[:, None]],
-        axis=1,
-    )
-    acc = jax.ops.segment_sum(payload, seg, num_segments=n)
+    acc = jax.ops.segment_sum(payload_s, seg, num_segments=n)
     counts = acc[:, 0]
     sums = acc[:, 1:4]
     nsum = acc[:, 4:7]

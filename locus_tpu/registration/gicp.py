@@ -360,6 +360,10 @@ def gicp_register(
         )
 
         t_aug = build_nn_target(target.xyz)
+        # Box pruning pays even at scan-scale targets (measured: a
+        # constant full-visit list costs +0.1/+0.2 ms on s2s/s2m vs
+        # pruned visits — the per-iteration visit prep is cheaper than
+        # the extra chunk dots it avoids).
         c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
 
         def nearest_fn(p):

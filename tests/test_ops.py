@@ -113,6 +113,22 @@ def test_crop_box_positive():
     assert mask[0] and not mask[1]
 
 
+def test_passthrough_field_filter():
+    """pcl::PassThrough semantics (upstream per-lidar nodelets,
+    locus.launch:90-133): keep points with field in [min, max]."""
+    pts = np.array(
+        [[0, 0, -5], [0, 0, 0], [0, 0, 5], [3, 0, 1]], dtype=np.float32
+    )
+    pc = PointCloud.from_points(pts, capacity=8)
+    out = filters.passthrough(pc, "z", -1.0, 2.0)
+    mask = np.asarray(out.mask)[:4]
+    assert list(mask) == [False, True, False, True]
+    out_neg = filters.passthrough(pc, "z", -1.0, 2.0, negative=True)
+    assert list(np.asarray(out_neg.mask)[:4]) == [True, False, True, False]
+    out_x = filters.passthrough(pc, "x", 1.0, 4.0)
+    assert list(np.asarray(out_x.mask)[:4]) == [False, False, False, True]
+
+
 def test_random_sample_fraction(rng):
     pc = PointCloud.from_points(rng.normal(size=(1000, 3)).astype(np.float32))
     out = filters.random_sample(pc, jax.random.PRNGKey(0), decimate_percentage=0.9)
