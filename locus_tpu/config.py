@@ -36,7 +36,7 @@ class RegistrationConfig:
     iterations: int = 20               # outer ICP iterations
     # GN converges in 2-3 steps on these quadratic-per-linearization
     # objectives (validated: identical accuracy at 3/4/8 on cube + e2e)
-    inner_iterations: int = 4
+    inner_iterations: int = 3
     transform_thresholding: bool = True
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
@@ -61,7 +61,7 @@ class RegistrationConfig:
             tf_epsilon=1e-5,
             corr_dist=0.2,
             iterations=20,
-            inner_iterations=4,
+            inner_iterations=3,
         )
 
 

@@ -118,7 +118,7 @@ def main():
 
     reps = args.reps
 
-    def timed(fn, *operands):
+    def timed_raw(fn, *operands):
         """Repeat fn(jitter, *operands) reps times inside one jit; the
         carry perturbs a coordinate each rep so the body cannot hoist."""
 
@@ -135,6 +135,14 @@ def main():
         r = loop(operands)
         np.asarray(r)  # fence (relay's block_until_ready can return early)
         return (time.perf_counter() - t0) / reps
+
+    # Per-CALL dispatch floor (the remote relay costs ~26 ms per jit
+    # invocation regardless of work — measured: an empty body shows the
+    # same total at 64 and 256 reps). Subtract it from every stage.
+    calib = timed_raw(lambda eps: eps + 1.0)
+
+    def timed(fn, *operands):
+        return max(timed_raw(fn, *operands) - calib, 0.0)
 
     def f_pre(jit_eps, raw_, leaf):
         pc = PointCloud(raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask)
@@ -165,6 +173,40 @@ def main():
         new_state, out = pipeline.step(st, pc, stamp, cfg)
         return out.pose[0, 3] + out.covariance[0, 0]
 
+    # keyframe-admitting variant: push last_keyframe_pose away so the
+    # insert cond runs every rep (bench inserts ~1/3 scans; the fixed
+    # profiling state never would)
+    far_pose = jnp.asarray(np.diag([1.0, 1.0, 1.0, 1.0]).astype(np.float32))
+    far_pose = far_pose.at[:3, 3].set(
+        jnp.asarray(np.asarray(state.last_keyframe_pose)[:3, 3] + 50.0)
+    )
+    state_kf = state._replace(last_keyframe_pose=far_pose)
+
+    def f_kf_insert(jit_eps, mp, ws):
+        pc = PointCloud(ws.xyz + jit_eps, ws.normals, ws.intensity, ws.mask)
+        mp2 = mp_impl.insert_keyframe(mp, pc, cfg.mapper)
+        return mp_impl.map_size(mp2).astype(jnp.float32)
+
+    world_scan = scan.transform(loc0.integrated)
+    kf_d2 = jnp.full((cfg.scan_capacity,), jnp.inf, jnp.float32)
+
+    def f_kf_writes(jit_eps, mp, ws):
+        # insert with precomputed novelty distances (the pipeline path):
+        # isolates compact + the store/operand/box writes
+        pc = PointCloud(ws.xyz + jit_eps, ws.normals, ws.intensity, ws.mask)
+        mp2 = mp_impl.insert_keyframe(mp, pc, cfg.mapper, nearest_d2=kf_d2)
+        return mp_impl.map_size(mp2).astype(jnp.float32)
+
+    def f_fusion(jit_eps, fu):
+        fu2 = fusion.push_imu_batch(
+            fu, packed["imu_s"][i] + jit_eps, packed["imu_q"][i]
+        )
+        fu2 = fusion.push_odom_batch(fu2, packed["odom_s"][i], packed["odom_p"][i])
+        sel2 = fusion.integrate_sensors(
+            fu2, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
+        )
+        return sel2.prior[0, 3] + sel2.source.astype(jnp.float32)
+
     # preprocess substages
     from locus_tpu.ops import filters as filters_op
     from locus_tpu.ops import normals as normals_op
@@ -194,8 +236,47 @@ def main():
         "s2s_gicp": timed(f_s2s, state.odom, scan, sel.prior),
         "map_ann": timed(f_ann, state.map, fixed),
         "s2m_gicp": timed(f_s2m, loc0, scan, neighbors_sensor),
+        "kf_insert": timed(f_kf_insert, state.map, world_scan),
+        "kf_writes_only": timed(f_kf_writes, state.map, world_scan),
+        "fusion_ingest": timed(f_fusion, state.fuse),
         "full_step": timed(f_full, state, raw),
+        "full_step_with_kf": timed(f_full, state_kf, raw),
     }
+
+    # config-ablated full steps: attribute the step-glue cost
+    import dataclasses as _dc
+
+    def f_full_cfg(cfg2):
+        def f(jit_eps, st, raw_):
+            pc = PointCloud(
+                raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask
+            )
+            _, out = pipeline.step(st, pc, stamp, cfg2)
+            return out.pose[0, 3] + out.covariance[0, 0]
+
+        return f
+
+    cfg_nocov = cfg.replace(
+        localization=_dc.replace(cfg.localization, compute_icp_covariance=False)
+    )
+    cfg_nofuse = cfg.replace(
+        fusion=_dc.replace(cfg.fusion, data_integration_mode=0)
+    )
+    cfg_nomap_writes = cfg.replace(
+        b_add_keyframes_enabled=False,
+        mapper=_dc.replace(cfg.mapper, b_enable_msw=False),
+    )
+    cfg_noadapt = cfg.replace(b_adaptive_input_voxelization=False)
+    results["full_no_covariance"] = timed(
+        f_full_cfg(cfg_nocov), state, raw
+    )
+    results["full_no_fusion"] = timed(f_full_cfg(cfg_nofuse), state, raw)
+    results["full_no_map_writes"] = timed(
+        f_full_cfg(cfg_nomap_writes), state, raw
+    )
+    results["full_no_adaptive_leaf"] = timed(
+        f_full_cfg(cfg_noadapt), state, raw
+    )
 
     # actual registration iteration counts at this state (informative:
     # both loops early-exit on the scaled-delta test)
@@ -214,6 +295,7 @@ def main():
         "reps": reps,
         "map_points": int(np.asarray(mp_impl.map_size(state.map))),
         "scan_points": int(np.asarray(scan.count())),
+        "call_floor_ms": round(calib * 1e3, 3),
         "stages_ms": {k: round(v * 1e3, 3) for k, v in results.items()},
         "accounted_ms": round(accounted * 1e3, 3),
         "other_ms": round((results["full_step"] - accounted) * 1e3, 3),
