@@ -121,25 +121,37 @@ def compute_ap_point2plane(
     return jnp.einsum("ni,nj->ij", Hw, H)
 
 
+def covariance_from_ap_eig(
+    ap_eigval: jnp.ndarray, ap_eigvec: jnp.ndarray, icp_max_covariance: float
+):
+    """cov = 0.05^2 Ap^{-1} from the eigendecomposition of Ap: Ap^{-1}
+    shares Ap's eigenvectors with reciprocal eigenvalues, so ONE 6x6
+    Jacobi decomposition serves covariance, condition number, and
+    observability (vs. an inverse + a second decomposition). Clamping to
+    [1e-12, icp_max_covariance] matches the reference's LDLT-diagonal
+    clamp of the covariance spectrum (.cc:469-541)."""
+    lam = ap_eigval + 1e-9  # the reference-path ridge on Ap
+    cov_eig = 0.05 * 0.05 / jnp.where(jnp.abs(lam) < 1e-30, 1e-30, lam)
+    clamped = jnp.clip(cov_eig, 1e-12, icp_max_covariance)
+    cov_c = (ap_eigvec * clamped[None, :]) @ ap_eigvec.T
+    bad = jnp.any(jnp.isnan(cov_c))
+    cov_c = jnp.where(
+        bad, jnp.eye(6, dtype=ap_eigvec.dtype) * icp_max_covariance, cov_c
+    )
+    condition_number = jnp.max(clamped) / jnp.maximum(jnp.min(clamped), 1e-30)
+    return cov_c, condition_number
+
+
 def point2plane_covariance(
     Ap: jnp.ndarray, icp_max_covariance: float
 ):
     """cov = 0.05^2 Ap^{-1}, eigenvalues clamped to
     [1e-12, icp_max_covariance]; condition number from the clamped
-    covariance spectrum (.cc:469-541 — the reference clamps the LDLT
-    diagonal; we clamp eigenvalues, the same bound on the spectrum)."""
+    covariance spectrum (.cc:469-541)."""
     from locus_tpu.utils.linalg import jacobi_eigh
 
-    ridge = 1e-9 * jnp.eye(6, dtype=Ap.dtype)
-    cov = 0.05 * 0.05 * jnp.linalg.inv(Ap + ridge)
-    cov = 0.5 * (cov + cov.T)
-    eigval, eigvec = jacobi_eigh(cov)
-    clamped = jnp.clip(eigval, 1e-12, icp_max_covariance)
-    cov_c = (eigvec * clamped[None, :]) @ eigvec.T
-    bad = jnp.any(jnp.isnan(cov_c))
-    cov_c = jnp.where(bad, jnp.eye(6, dtype=Ap.dtype) * icp_max_covariance, cov_c)
-    condition_number = clamped[-1] / jnp.maximum(clamped[0], 1e-30)
-    return cov_c, condition_number
+    eigval, eigvec = jacobi_eigh(0.5 * (Ap + Ap.T))
+    return covariance_from_ap_eig(eigval, eigvec, icp_max_covariance)
 
 
 def compute_observability(Ap: jnp.ndarray):
@@ -191,22 +203,27 @@ def measurement_update(
         se3.orthonormalize(se3.rotation(integrated)), se3.translation(integrated)
     )
 
-    # Covariance / observability from the final correspondences.
+    # Covariance / observability from the final correspondences. One
+    # 6x6 Jacobi eigendecomposition of Ap feeds all three outputs
+    # (covariance, condition number, observability spectrum).
     if cfg.compute_icp_covariance or cfg.compute_icp_observability:
         Ap = compute_ap_point2plane(
             query.xyz, query.mask, reference.normals,
             icp.correspondences, icp.corr_mask,
         )
+        ap_eigval, ap_eigvec = compute_observability(Ap)
     else:
         Ap = jnp.zeros((6, 6), jnp.float32)
 
     if cfg.compute_icp_covariance:
-        cov, cond = point2plane_covariance(Ap, cfg.icp_max_covariance)
+        cov, cond = covariance_from_ap_eig(
+            ap_eigval, ap_eigvec, cfg.icp_max_covariance
+        )
     else:
         cov, cond = state.covariance, state.condition_number
 
     if cfg.compute_icp_observability:
-        obs_eigval, _ = compute_observability(Ap)
+        obs_eigval = ap_eigval
     else:
         obs_eigval = state.observability_eigenvalues
 

@@ -43,36 +43,55 @@ def chol_solve(H: jnp.ndarray, g: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(x)
 
 
-def jacobi_eigh(A: jnp.ndarray, sweeps: int = 8):
-    """Symmetric NxN (N small, static) eigendecomposition via cyclic
-    Jacobi rotations. Returns (eigvals ascending (N,), eigvecs (N,N)
-    columns)."""
+def _round_robin_rounds(n: int):
+    """Circle-method schedule: n-1 rounds of n/2 disjoint (p,q) pairs
+    covering every pair exactly once (n even)."""
+    others = list(range(1, n))
+    rounds = []
+    for _ in range(n - 1):
+        lineup = [0] + others
+        pairs = []
+        for k in range(n // 2):
+            a, b = lineup[k], lineup[n - 1 - k]
+            pairs.append((min(a, b), max(a, b)))
+        rounds.append(pairs)
+        others = others[-1:] + others[:-1]
+    return rounds
+
+
+def jacobi_eigh(A: jnp.ndarray, sweeps: int = 6):
+    """Symmetric NxN (N small, even, static) eigendecomposition via
+    PARALLEL-ordered Jacobi: each round applies n/2 disjoint rotations as
+    one compound orthogonal matrix (two small matmuls), so a sweep is
+    n-1 serial steps instead of n(n-1)/2 — ~3x shorter dependency chain
+    on TPU, where the latency of the tiny serial updates dominates.
+    Returns (eigvals ascending (N,), eigvecs (N,N) columns)."""
     n = A.shape[-1]
     M = 0.5 * (A + A.T)
     V = jnp.eye(n, dtype=A.dtype)
+    rounds = _round_robin_rounds(n)
+    eye = jnp.eye(n, dtype=A.dtype)
 
     for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                apq = M[p, q]
-                app = M[p, p]
-                aqq = M[q, q]
-                # rotation angle (guarded for apq ~ 0)
-                tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
-                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-                t = jnp.where(jnp.abs(apq) < 1e-12 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30), 0.0, t)
-                c = 1.0 / jnp.sqrt(1.0 + t * t)
-                s = t * c
-                # apply rotation G(p,q,theta): M <- G^T M G ; V <- V G
-                rot_p = c * M[:, p] - s * M[:, q]
-                rot_q = s * M[:, p] + c * M[:, q]
-                M = M.at[:, p].set(rot_p).at[:, q].set(rot_q)
-                rot_p = c * M[p, :] - s * M[q, :]
-                rot_q = s * M[p, :] + c * M[q, :]
-                M = M.at[p, :].set(rot_p).at[q, :].set(rot_q)
-                vp = c * V[:, p] - s * V[:, q]
-                vq = s * V[:, p] + c * V[:, q]
-                V = V.at[:, p].set(vp).at[:, q].set(vq)
+        for pairs in rounds:
+            pp = jnp.array([p for p, _ in pairs])
+            qq = jnp.array([q for _, q in pairs])
+            apq = M[pp, qq]
+            app = M[pp, pp]
+            aqq = M[qq, qq]
+            tau = (aqq - app) / (2.0 * jnp.where(jnp.abs(apq) < 1e-30, 1e-30, apq))
+            t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+            t = jnp.where(
+                jnp.abs(apq) < 1e-12 * (jnp.abs(app) + jnp.abs(aqq) + 1e-30), 0.0, t
+            )
+            c = 1.0 / jnp.sqrt(1.0 + t * t)
+            s = t * c
+            # Compound rotation G: per pair G[p,p]=G[q,q]=c, G[p,q]=s,
+            # G[q,p]=-s (pairs disjoint, so one scatter builds all).
+            G = eye.at[pp, pp].set(c).at[qq, qq].set(c)
+            G = G.at[pp, qq].set(s).at[qq, pp].set(-s)
+            M = G.T @ M @ G
+            V = V @ G
 
     eigvals = jnp.diagonal(M)
     order = jnp.argsort(eigvals)
