@@ -106,3 +106,44 @@ def test_measurement_update_recovers_offset():
     # covariance computed and bounded
     assert np.all(np.isfinite(np.asarray(res.state.covariance)))
     assert float(res.state.condition_number) >= 1.0
+
+
+def test_jacobi_eigh_matches_numpy():
+    """Parallel-ordered Jacobi must reach f32 accuracy on ill-conditioned
+    symmetric 6x6 inputs (spectra spanning 1e-8..1e2)."""
+    import numpy as np
+    from locus_tpu.utils.linalg import jacobi_eigh
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        Q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+        lam = 10.0 ** rng.uniform(-8, 2, 6)
+        A = ((Q * lam) @ Q.T).astype(np.float32)
+        A = 0.5 * (A + A.T)
+        ev, V = jacobi_eigh(jnp.asarray(A))
+        ev, V = np.asarray(ev), np.asarray(V)
+        # f32 absolute floor: eigenvalues below lam_max * eps_f32 are not
+        # resolvable by ANY f32 method; tolerate that floor.
+        np.testing.assert_allclose(
+            ev, np.sort(lam), rtol=3e-5, atol=1e-6 * lam.max()
+        )
+        rec = (V * ev) @ V.T
+        np.testing.assert_allclose(rec, A, atol=3e-5 * max(1.0, lam.max()))
+
+
+def test_covariance_from_ap_eig_matches_inverse():
+    """covariance_from_ap_eig (one shared decomposition) must agree with
+    the direct cov = 0.05^2 (Ap + ridge)^-1 eigen-clamp formulation."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    lam = np.array([2e3, 1e3, 5e2, 1e2, 5e1, 1e1])
+    Ap = ((Q * lam) @ Q.T).astype(np.float32)
+    Ap = 0.5 * (Ap + Ap.T)
+
+    cov, cond = loc.point2plane_covariance(jnp.asarray(Ap), icp_max_covariance=0.01)
+    ref = 0.05 * 0.05 * np.linalg.inv(Ap + 1e-9 * np.eye(6))
+    np.testing.assert_allclose(np.asarray(cov), ref, rtol=5e-4, atol=1e-9)
+    w = np.linalg.eigvalsh(ref)
+    np.testing.assert_allclose(float(cond), w.max() / w.min(), rtol=1e-3)
