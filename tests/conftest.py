@@ -19,6 +19,12 @@ import jax  # noqa: E402
 # before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-bound (hundreds of
+# jitted programs); cache them across runs under /tmp.
+jax.config.update("jax_compilation_cache_dir", "/tmp/locus_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
