@@ -1,10 +1,14 @@
 """Kernel dispatch policy: Pallas vs plain-XLA paths.
 
-The Pallas kernels are the fast path on TPU, but they carry SMEM scalar
-operands that the pallas vmap batching rule cannot lower (block shape
-(1,) in SMEM). The batched multi-sequence replay therefore traces with
-the XLA paths — GSPMD can also partition those for sharded maps, which
-shard_map'd Pallas cannot do automatically.
+The Pallas kernels are the fast path on TPU. Under jax.vmap (the batched
+multi-sequence replay) their SMEM scalar operands can't go through the
+default pallas batching rule; instead each kernel entry point carries a
+custom-vmap rule that lowers the whole batch to ONE kernel with a batch
+grid dimension (ops/pallas/nn.py _visits_nn, moments.py _moments_call).
+
+no_pallas() remains for the sharded-map mesh axis: GSPMD can partition
+the XLA kernel paths along the map point axis, while a pallas_call would
+force the shards to gather.
 """
 from __future__ import annotations
 

@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -62,6 +63,102 @@ def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
     @pl.when(c != 0)
     def _():
         out_ref[:] = out_ref[:] + contrib
+
+
+def _moments_kernel_batched(r2_ref, q_ref, t_ref, f_ref, out_ref):
+    """Batched moments: grid (B, G, C); r2_ref (B,) SMEM; q_ref
+    (1, BQ, AUG); t_ref (1, BT, AUG); f_ref (1, BT, NF); out (1, BQ, NF)
+    accumulated across the C grid dim. One launch for the whole
+    multi-sequence batch (custom-vmap lowering of
+    radius_moments_pallas_comps; each batch member keeps its own traced
+    radius)."""
+    b = pl.program_id(0)
+    c = pl.program_id(2)
+    q = q_ref[0]
+    q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)
+    r2 = r2_ref[b]
+
+    scores = jax.lax.dot_general(
+        q, t_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = scores + q2
+    W = (d2 <= r2).astype(jnp.float32)
+    contrib = jnp.dot(
+        W, f_ref[0], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = contrib
+
+    @pl.when(c != 0)
+    def _():
+        out_ref[0] = out_ref[0] + contrib
+
+
+def _moments_call(r2, q, t, feat, *, interpret=False):
+    """Raw-moments pallas launch with a custom vmap rule: a batched call
+    (the vmapped multi-sequence replay) becomes ONE kernel with a leading
+    batch grid dimension instead of failing on the SMEM radius operand.
+    r2 (1,); q (n_pad, AUG); t (m_pad, AUG); feat (m_pad, NF)."""
+
+    @custom_vmap
+    def call(r2, q, t, feat):
+        n_pad, m_pad = q.shape[0], t.shape[0]
+        grid = (n_pad // BQ, m_pad // BT)
+        return pl.pallas_call(
+            _moments_kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BQ, AUG), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, AUG), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((BT, NF), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (BQ, NF), lambda g, c: (g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad, NF), jnp.float32),
+            interpret=interpret,
+        )(r2, q, t, feat)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, r2, q, t, feat):
+        ops = [
+            o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
+            for o, b in zip((r2, q, t, feat), in_batched)
+        ]
+        r2b, qb, tb, fb = ops
+        bsz, n_pad = qb.shape[0], qb.shape[1]
+        m_pad = tb.shape[1]
+        grid = (bsz, n_pad // BQ, m_pad // BT)
+        out = pl.pallas_call(
+            _moments_kernel_batched,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, BQ, AUG), lambda b, g, c: (b, g, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, BT, AUG), lambda b, g, c: (b, c, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, BT, NF), lambda b, g, c: (b, c, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BQ, NF), lambda b, g, c: (b, g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n_pad, NF), jnp.float32),
+            interpret=interpret,
+        )(r2b.reshape(-1), qb, tb, fb)
+        return out, True
+
+    return call(r2, q, t, feat)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -105,20 +202,7 @@ def radius_moments_pallas_comps(
 
     r2 = jnp.asarray([radius * radius], jnp.float32)
 
-    grid = (n_pad // BQ, m_pad // BT)
-    out = pl.pallas_call(
-        _moments_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BQ, AUG), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, AUG), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BT, NF), lambda g, c: (c, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((BQ, NF), lambda g, c: (g, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_pad, NF), jnp.float32),
-        interpret=interpret,
-    )(r2, q, t, feat)
+    out = _moments_call(r2, q, t, feat, interpret=interpret)
 
     return _moments_to_comps(out[:n])
 

@@ -32,56 +32,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.custom_batching import custom_vmap
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ = 256      # query tile (grid dim)
 BT = 2048     # target chunk streamed inside the kernel
 AUG = 8       # augmented K dim
-
-
-def _nn_kernel(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
-    """cnt_ref: (1,) SMEM count of occupied chunks; ids_ref: (M//BT,)
-    SMEM occupied-chunk ids packed into the prefix; q_ref: (BQ, AUG);
-    t_ref: (AUG, M) resident in VMEM; outputs (BQ, 1).
-
-    Chunks with zero valid points are never visited — the map store is
-    provisioned for the worst case (131k) but the MSW window often
-    occupies a small contiguous prefix of the ring buffer. The chunk
-    loop has a dynamic trip count and NO conditionals: a skipped-chunk
-    lax.cond costs ~1.2 us on TPU, which dominated this kernel."""
-    q_f32 = q_ref[:]
-
-    def body(v, carry):
-        best_d, best_i = carry                               # (BQ,128) each
-        c = ids_ref[v]
-        base = c * BT
-        t_chunk = t_ref[:, pl.ds(base, BT)]                  # (AUG, BT)
-        scores = jnp.dot(
-            q_f32, t_chunk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        for s in range(BT // 128):
-            sub = scores[:, s * 128 : (s + 1) * 128]
-            idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
-                base + s * 128
-            )
-            take = sub < best_d
-            best_d = jnp.where(take, sub, best_d)
-            best_i = jnp.where(take, idx, best_i)
-        return best_d, best_i
-
-    init = (
-        jnp.full((BQ, 128), jnp.inf, jnp.float32),
-        jnp.zeros((BQ, 128), jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[0], body, init)
-    lane = jnp.argmin(best_d, axis=1)                        # one reduction
-    d_ref[:] = jnp.min(best_d, axis=1)[:, None]
-    # Mosaic has no gather-along-lanes: one-hot select instead.
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
-    onehot = lane_iota == lane[:, None]
-    i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
 
 
 def build_nn_target(target: jnp.ndarray, m_pad: int | None = None) -> jnp.ndarray:
@@ -117,42 +74,30 @@ def update_nn_target(
 
 
 def _run_kernel(q, t_aug, interpret, chunk_counts=None):
+    """1-NN of packed queries against the augmented target, visiting only
+    occupied chunks (chunk_counts given) or all chunks. The visit list is
+    shared across query tiles; broadcast it to the per-tile layout of the
+    visits kernel (one kernel serves every NN entry point, and it has a
+    custom-vmap rule — see _visits_nn)."""
     n_pad = q.shape[0]
-    grid = (n_pad // BQ,)
+    num_tiles = n_pad // BQ
     m_pad = t_aug.shape[1]
     num_chunks = m_pad // BT
     if chunk_counts is None:
-        cnt = jnp.full((1,), num_chunks, jnp.int32)
-        ids = jnp.arange(num_chunks, dtype=jnp.int32)
+        cnt = jnp.full((num_tiles,), num_chunks, jnp.int32)
+        ids = jnp.tile(jnp.arange(num_chunks, dtype=jnp.int32), num_tiles)
     else:
         occ = chunk_counts > 0
-        cnt = jnp.sum(occ).astype(jnp.int32)[None]
+        cnt = jnp.broadcast_to(jnp.sum(occ).astype(jnp.int32), (num_tiles,))
         # sort-free prefix compaction (see nearest_pallas_bounded_pre)
         pos = jnp.where(occ, jnp.cumsum(occ.astype(jnp.int32)) - 1, num_chunks)
-        ids = (
+        ids_one = (
             jnp.zeros((num_chunks,), jnp.int32)
             .at[pos]
             .set(jnp.arange(num_chunks, dtype=jnp.int32), mode="drop")
         )
-    return pl.pallas_call(
-        _nn_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(cnt, ids, q, t_aug)
+        ids = jnp.tile(ids_one, num_tiles)
+    return _visits_nn(cnt, ids, q, t_aug, interpret=interpret)
 
 
 def _pack_query(query: jnp.ndarray) -> jnp.ndarray:
@@ -270,6 +215,128 @@ def _nn_kernel_visits(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
     i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
 
 
+def _nn_kernel_visits_batched(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
+    """Batched visits kernel: grid (B, G); cnt_ref (B*G,) SMEM, ids_ref
+    (B*G*C,) SMEM, q_ref (1, BQ, AUG), t_ref (1, AUG, M) — each grid row
+    sees its own batch member's target operand. One kernel launch serves
+    the whole multi-sequence batch (this is what the custom-vmap rule of
+    _visits_nn lowers to; pallas' default batching rule cannot lower the
+    SMEM scalar operands)."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    num_tiles = pl.num_programs(1)
+    m = t_ref.shape[-1]
+    num_chunks = m // BT
+    row = b * num_tiles + g
+    q_f32 = q_ref[0]
+
+    def body(v, carry):
+        best_d, best_i = carry
+        c = ids_ref[row * num_chunks + v]
+        base = c * BT
+        t_chunk = t_ref[0, :, pl.ds(base, BT)]
+        scores = jnp.dot(
+            q_f32, t_chunk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        for s in range(BT // 128):
+            sub = scores[:, s * 128 : (s + 1) * 128]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
+                base + s * 128
+            )
+            take = sub < best_d
+            best_d = jnp.where(take, sub, best_d)
+            best_i = jnp.where(take, idx, best_i)
+        return best_d, best_i
+
+    init = (
+        jnp.full((BQ, 128), jnp.inf, jnp.float32),
+        jnp.zeros((BQ, 128), jnp.int32),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[row], body, init)
+    lane = jnp.argmin(best_d, axis=1)
+    d_ref[0] = jnp.min(best_d, axis=1)[:, None]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
+    onehot = lane_iota == lane[:, None]
+    i_ref[0] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
+
+
+def _visits_nn_single(cnt, ids, q, t_aug, *, interpret=False):
+    n_pad = q.shape[0]
+    m_pad = t_aug.shape[1]
+    grid = (n_pad // BQ,)
+    return pl.pallas_call(
+        _nn_kernel_visits,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cnt, ids, q, t_aug)
+
+
+def _visits_nn_batched(cnt, ids, q, t_aug, *, interpret=False):
+    """cnt (B, G), ids (B, G*C), q (B, n_pad, AUG), t_aug (B, AUG, m_pad)
+    -> d (B, n_pad, 1), i (B, n_pad, 1) via ONE kernel with a batch grid
+    dimension."""
+    bsz, n_pad = q.shape[0], q.shape[1]
+    m_pad = t_aug.shape[2]
+    num_tiles = n_pad // BQ
+    grid = (bsz, num_tiles)
+    return pl.pallas_call(
+        _nn_kernel_visits_batched,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BQ, AUG), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, AUG, m_pad), lambda b, g: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BQ, 1), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, n_pad, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cnt.reshape(-1), ids.reshape(-1), q, t_aug)
+
+
+def _visits_nn(cnt, ids, q, t_aug, *, interpret=False):
+    """Visit-list 1-NN with a custom vmap rule: under jax.vmap (the
+    batched multi-sequence replay) the whole batch lowers to ONE pallas
+    launch with a leading batch grid dimension instead of failing on the
+    SMEM operands. Single level of batching only."""
+
+    @custom_vmap
+    def call(cnt, ids, q, t_aug):
+        return _visits_nn_single(cnt, ids, q, t_aug, interpret=interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, cnt, ids, q, t_aug):
+        ops = [
+            o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
+            for o, b in zip((cnt, ids, q, t_aug), in_batched)
+        ]
+        d, i = _visits_nn_batched(*ops, interpret=interpret)
+        return (d, i), (True, True)
+
+    return call(cnt, ids, q, t_aug)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def nearest_pallas_bounded_pre(
     query: jnp.ndarray,
@@ -331,26 +398,7 @@ def nearest_pallas_bounded_pre(
     )
     ids = ids.reshape(-1)
 
-    grid = (num_tiles,)
-    d, i = pl.pallas_call(
-        _nn_kernel_visits,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BQ, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-        ],
-        interpret=interpret,
-    )(cnt, ids, q, t_aug)
+    d, i = _visits_nn(cnt, ids, q, t_aug, interpret=interpret)
 
     idx = jnp.clip(i[:n, 0], 0, m - 1)
     diff = query - target[idx]

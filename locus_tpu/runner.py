@@ -107,11 +107,18 @@ def make_scan_replay(cfg: LocusConfig):
     return replay
 
 
-def make_batched_replay(cfg: LocusConfig):
+def make_batched_replay(cfg: LocusConfig, use_pallas: Optional[bool] = None):
     """Multi-sequence batch replay (the pod-scale DP axis, SURVEY §2.2
     multi-robot row): vmap over a leading sequence axis; shard the batch
     over the mesh "data" axis and the map store over "map" via the
-    shardings from parallel.mesh."""
+    shardings from parallel.mesh.
+
+    `use_pallas`: None (default) keeps the Pallas kernels on TPU — their
+    custom-vmap rules lower the whole batch to single kernels with a
+    batch grid dimension (ops/pallas/nn.py _visits_nn, moments.py
+    _moments_call). Pass False when the map point axis is sharded over
+    the mesh "map" axis: GSPMD can partition the XLA kernel paths but
+    would have to gather the map shards around a pallas_call."""
 
     def body(state, inp):
         fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
@@ -135,11 +142,10 @@ def make_batched_replay(cfg: LocusConfig):
     _jitted = partial(jax.jit, donate_argnums=(0,))(vreplay)
 
     def replay(states, packed):
-        # the pallas kernels' SMEM scalar operands don't batch under
-        # vmap; trace the batched program with the XLA kernel paths
-        # (also what GSPMD partitions for sharded maps)
-        from locus_tpu.ops.dispatch import no_pallas
+        from locus_tpu.ops.dispatch import no_pallas, pallas_allowed
 
+        if use_pallas or (use_pallas is None and pallas_allowed()):
+            return _jitted(states, packed)
         with no_pallas():
             return _jitted(states, packed)
 

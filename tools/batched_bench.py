@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Single-chip batched-replay throughput: aggregate scans/s at batch
+size B (B independent sequences vmapped onto one chip, each with its own
+map store — BASELINE config 5 measured per chip).
+
+The sequential single-stream replay is latency-bound (~3-4k points/scan
+leaves the MXU mostly idle); batching multiplies per-chip throughput
+until compute saturates. The Pallas kernels stay on the fast path via
+their custom-vmap rules (one kernel launch per stage with a batch grid
+dimension).
+
+Usage: python tools/batched_bench.py [--batch 1 2 4 8] [--scans 48]
+"""
+import argparse
+import json
+import time
+
+import numpy as np
+
+import _pathsetup  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", nargs="*", type=int, default=[1, 2, 4, 8])
+    ap.add_argument("--scans", type=int, default=48)
+    ap.add_argument("--warmup", type=int, default=12)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.runner import make_batched_replay, pack_sequence, stack_packed
+
+    on_tpu = jax.devices()[0].platform not in ("cpu",)
+    if on_tpu:
+        cfg = LocusConfig(
+            scan_capacity=4096,
+            raw_scan_capacity=32768,
+            points_to_process_in_callback=3000,
+            filtering=FilterConfig(normals_k=20),
+            mapper=MapperConfig(
+                map_capacity=1 << 17, keyframe_capacity=4096, map_voxel_leaf=0.15
+            ),
+        )
+        azimuth = 1800
+    else:
+        cfg = LocusConfig(
+            scan_capacity=512,
+            raw_scan_capacity=2048,
+            points_to_process_in_callback=400,
+            filtering=FilterConfig(normals_k=8),
+            mapper=MapperConfig(
+                map_capacity=4096, keyframe_capacity=512, map_voxel_leaf=0.15
+            ),
+        )
+        azimuth = 256
+
+    results = {}
+    for B in args.batch:
+        seqs = [
+            make_tunnel_sequence(
+                num_scans=args.scans, azimuth_steps=azimuth, step=0.35, seed=s
+            )
+            for s in range(B)
+        ]
+        packed = stack_packed([pack_sequence(s, cfg) for s in seqs])
+
+        def fresh_states():
+            states = []
+            for s in seqs:
+                st = pipeline.init_state(
+                    cfg, initial_pose=jnp.asarray(s.gt_poses[0], jnp.float32)
+                )
+                states.append(
+                    jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+                )
+            return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+        replay = make_batched_replay(cfg)
+        warm = {k: v[: args.warmup] for k, v in packed.items()}
+        _, (poses, _, _) = replay(fresh_states(), warm)
+        np.asarray(poses)  # fence (relay block_until_ready returns early)
+
+        best = 0.0
+        for _ in range(2):
+            st = fresh_states()
+            t0 = time.perf_counter()
+            _, (poses, _, _) = replay(st, packed)
+            np.asarray(poses)
+            dt = time.perf_counter() - t0
+            best = max(best, B * args.scans / dt)
+        # trajectory sanity on sequence 0
+        gt = seqs[0].gt_poses[: args.scans]
+        est = np.asarray(poses)[:, 0]
+        ate = float(
+            np.sqrt(np.mean(np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=1)))
+        )
+        results[str(B)] = {
+            "agg_scans_per_sec": round(best, 2),
+            "per_seq_scans_per_sec": round(best / B, 2),
+            "ate_seq0_m": round(ate, 4),
+        }
+        print(json.dumps({f"B={B}": results[str(B)]}), flush=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched_scans_per_sec_per_chip",
+                "results": results,
+                "platform": "tpu" if on_tpu else "cpu",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
