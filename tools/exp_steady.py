@@ -1,0 +1,84 @@
+"""Experiment: fresh-run vs steady-state replay rate, and scan-count
+amortization of the relay dispatch floor. Not part of the bench."""
+import time
+
+import numpy as np
+
+import _pathsetup  # noqa: F401
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    cfg = LocusConfig(
+        scan_capacity=4096,
+        raw_scan_capacity=32768,
+        points_to_process_in_callback=3000,
+        filtering=FilterConfig(normals_k=20),
+        mapper=MapperConfig(
+            map_capacity=1 << 17, keyframe_capacity=4096, map_voxel_leaf=0.15
+        ),
+    )
+    seq = make_tunnel_sequence(num_scans=144, azimuth_steps=1800, step=0.35, seed=0)
+    replay = make_scan_replay(cfg)
+
+    def fresh_state():
+        st = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    def sub(packed, lo, hi):
+        return {k: v[lo:hi] for k, v in packed.items()}
+
+    packed = pack_sequence(seq, cfg, max_scans=144)
+
+    # compile both shapes
+    st = fresh_state()
+    st, (p, _, _) = replay(st, sub(packed, 0, 16))
+    np.asarray(p)
+
+    def timed(state, pk, n, reps=3):
+        best = 0.0
+        for _ in range(reps):
+            s2 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+            np.asarray(s2.previous_stamp)
+            t0 = time.perf_counter()
+            _, (poses, _, _) = replay(s2, pk)
+            np.asarray(poses)
+            best = max(best, n / (time.perf_counter() - t0))
+        return best
+
+    # 1) fresh 48 (bench today)
+    st48 = fresh_state()
+    r_fresh48 = timed(st48, sub(packed, 0, 48), 48)
+
+    # 2) steady state: warm 16, then time next 32
+    warm = fresh_state()
+    warm, (p, _, _) = replay(warm, sub(packed, 0, 16))
+    np.asarray(p)
+    r_steady32 = timed(warm, sub(packed, 16, 48), 32)
+
+    # 3) fresh 144 (amortization + map growth)
+    r_fresh144 = timed(fresh_state(), packed, 144, reps=2)
+
+    # 4) steady 128 after 16 warm
+    warm2 = fresh_state()
+    warm2, (p, _, _) = replay(warm2, sub(packed, 0, 16))
+    np.asarray(p)
+    r_steady128 = timed(warm2, sub(packed, 16, 144), 128, reps=2)
+
+    print({
+        "fresh48": round(r_fresh48, 1),
+        "steady32": round(r_steady32, 1),
+        "fresh144": round(r_fresh144, 1),
+        "steady128": round(r_steady128, 1),
+    })
+
+
+if __name__ == "__main__":
+    main()
