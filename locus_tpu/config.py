@@ -41,6 +41,12 @@ class RegistrationConfig:
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
     recompute_covariances: bool = False  # derive from normals (production path)
+    # Re-search correspondences at the final pose when the outer loop
+    # exits on the iteration cap (the reference always re-searches,
+    # PointCloudLocalization.cc:327-336; at convergence the carried
+    # pairs are within epsilon, so the extra NN pass is gated behind
+    # the not-converged branch and costs nothing on the common path).
+    final_correspondence_relookup: bool = True
     covariance_mode: str = "normals"   # "normals" | "recompute" | "adaptive"
     gicp_epsilon: float = 0.001        # plane-disk small eigenvalue
     k_correspondences: int = 20        # K for covariance estimation

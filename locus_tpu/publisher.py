@@ -17,6 +17,25 @@ from typing import Callable, List, Optional, Tuple
 import numpy as np
 
 
+def _slerp_matrix(R0: np.ndarray, R1: np.ndarray, a: float) -> np.ndarray:
+    """Rotation slerp via the axis-angle log of the relative rotation:
+    R(a) = R0 exp(a log(R0^T R1))."""
+    Rd = R0.T @ R1
+    cos = np.clip((np.trace(Rd) - 1.0) * 0.5, -1.0, 1.0)
+    ang = float(np.arccos(cos))
+    if ang < 1e-9:
+        return R0.copy()
+    axis = np.array(
+        [Rd[2, 1] - Rd[1, 2], Rd[0, 2] - Rd[2, 0], Rd[1, 0] - Rd[0, 1]]
+    ) / (2.0 * np.sin(ang))
+    th = a * ang
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    Ra = np.eye(3) + np.sin(th) * K + (1.0 - np.cos(th)) * (K @ K)
+    return R0 @ Ra
+
+
 @dataclass
 class OdomSample:
     stamp: float
@@ -65,9 +84,11 @@ class FixedRatePublisher:
         if s1.stamp <= s0.stamp + 1e-12:
             return s0.pose
         a = (t - s0.stamp) / (s1.stamp - s0.stamp)
-        # translation lerp; rotation: pick nearer endpoint (cheap; the
-        # reference interpolates via tf2 — slerp would also be fine here)
-        out = s0.pose.copy() if a < 0.5 else s1.pose.copy()
+        # translation lerp + rotation slerp, matching the reference's
+        # tf2 time interpolation (Locus.cc:601-642 lookupTransform at
+        # the in-between stamp)
+        out = np.eye(4)
+        out[:3, :3] = _slerp_matrix(s0.pose[:3, :3], s1.pose[:3, :3], a)
         out[:3, 3] = (1 - a) * s0.pose[:3, 3] + a * s1.pose[:3, 3]
         return out
 

@@ -437,11 +437,25 @@ def gicp_register(
     )
 
     final = se3.compose(T_fin, guess)
-    # Final correspondences: carried out of the last iteration. The loop
-    # converged (delta < eps), so these match a re-lookup at the final
-    # pose to within the convergence epsilon — the reference re-searches
-    # at the aligned pose (PointCloudLocalization.cc:327-336); we skip
-    # that extra full NN pass.
+    # Final correspondences: carried out of the last iteration. When the
+    # loop CONVERGED (delta < 1) these match a re-lookup at the final
+    # pose to within the convergence epsilon, so the extra NN pass is
+    # skipped. When the loop exited on the iteration cap the pairs can
+    # be meaningfully stale — re-search at the aligned pose, exactly the
+    # reference's re-lookup (PointCloudLocalization.cc:327-336). The
+    # cond makes the extra pass free on the common (converged) path.
+    if cfg.final_correspondence_relookup:
+        def relookup(_):
+            p_fin = se3.transform_points(T_fin, src0)
+            p_fin = jnp.where(source.mask[:, None], p_fin, src0)
+            return nearest_fn(p_fin)
+
+        d2_fin, j_fin = lax.cond(
+            delta < 1.0,
+            lambda _: (d2_fin, j_fin),
+            relookup,
+            operand=None,
+        )
     corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= corr_dist2)
 
     return GICPResult(

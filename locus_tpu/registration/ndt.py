@@ -99,7 +99,7 @@ def build_ndt_targets(
     return NDTTargets(means=means, icovs=icov, valid=valid)
 
 
-def _newton_step_comps(p_cur, src0f, mu, M, w_gate, gauss_d1, gauss_d2, lm):
+def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size):
     """One Newton direction + Armijo-backtracking step on the NDT score,
     the reference's optimizer scheme (ndt_omp_impl.hpp computeDerivatives
     :253-341 + computeStepLengthMT :888-1060) re-based onto the SE(3)
@@ -186,8 +186,8 @@ def _newton_step_comps(p_cur, src0f, mu, M, w_gate, gauss_d1, gauss_d2, lm):
     delta = jnp.where(gTd0 > 0, -delta, delta)
     # Step-norm cap (the reference clamps the line search to step_max =
     # step_size): one Newton step moves at most ~10x the configured
-    # step size; the outer loop supplies the rest.
-    cap = 10.0 * 0.1
+    # step size (cfg.ndt_step_size); the outer loop supplies the rest.
+    cap = 10.0 * step_size
     nrm = jnp.linalg.norm(delta)
     delta = delta * jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-12))
 
@@ -279,8 +279,8 @@ def ndt_register(
             p_cur = se3.transform_points(T, src0f)
             p_cur = jnp.where(maskf[:, None], p_cur, mu)
             step = _newton_step_comps(
-                p_cur, src0f, mu, M, w_gate, gauss_d1, gauss_d2,
-                cfg.levenberg_lambda,
+                p_cur, mu, M, w_gate, gauss_d1, gauss_d2,
+                cfg.levenberg_lambda, cfg.ndt_step_size,
             )
             T_new = se3.compose(se3.se3_exp(step), T)
         else:
@@ -312,10 +312,29 @@ def ndt_register(
     T_fin, iters, delta, fitness, ncorr = lax.while_loop(outer_cond, outer_body, init)
 
     final = se3.compose(T_fin, guess)
+    # Final correspondence pass against the raw target points, for the
+    # downstream covariance consumers: use the bounded Pallas 1-NN (the
+    # corr_dist gate below discards anything farther anyway) instead of
+    # the full (N x M) HBM distance matrix.
     p_fin = se3.transform_points(final, source.xyz)
-    d2_fin, j_fin = neighbors.nearest(
-        jnp.where(source.mask[:, None], p_fin, source.xyz), target.xyz
-    )
+    p_fin = jnp.where(source.mask[:, None], p_fin, source.xyz)
+    from locus_tpu.ops.dispatch import pallas_allowed
+
+    if pallas_allowed() and source.capacity >= 128:
+        from locus_tpu.ops.pallas.nn import (
+            build_nn_target,
+            chunk_boxes,
+            nearest_pallas_bounded_pre,
+        )
+
+        t_aug = build_nn_target(target.xyz)
+        c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
+        d2_fin, j_fin = nearest_pallas_bounded_pre(
+            p_fin, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist)
+        )
+        d2_fin = jnp.where(jnp.isfinite(d2_fin), d2_fin, 1e12)
+    else:
+        d2_fin, j_fin = neighbors.nearest(p_fin, target.xyz)
     corr_mask = source.mask & target.mask[j_fin] & (d2_fin <= cfg.corr_dist ** 2)
 
     return GICPResult(

@@ -171,3 +171,50 @@ def test_covariance_adaptive_structures(rng):
     # line point: eigenvalues ~ (0.01, 0.01, 1)
     w_line = np.linalg.eigvalsh(C[150])
     assert w_line[1] < 0.05 and w_line[2] > 0.9
+
+
+def test_final_relookup_noop_at_convergence():
+    """At convergence the carried last-iteration correspondences must
+    equal a re-lookup at the final pose (the approximation the pipeline
+    relies on); with the relookup disabled the result is identical."""
+    src = make_cube_cloud()
+    T_true = se3.make_transform(jnp.eye(3), jnp.asarray([0.05, 0.02, -0.03]))
+    tgt = src.transform(T_true)
+    r_on = gicp_register(
+        src, tgt, cfg=RegistrationConfig(final_correspondence_relookup=True)
+    )
+    r_off = gicp_register(
+        src, tgt, cfg=RegistrationConfig(final_correspondence_relookup=False)
+    )
+    assert bool(r_on.converged) and bool(r_off.converged)
+    np.testing.assert_array_equal(
+        np.asarray(r_on.correspondences), np.asarray(r_off.correspondences)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_on.corr_mask), np.asarray(r_off.corr_mask)
+    )
+
+
+def test_final_relookup_fires_on_iteration_cap():
+    """When the outer loop exits on the iteration cap, the relookup must
+    re-search at the aligned pose (PointCloudLocalization.cc:327-336):
+    the returned correspondences equal an explicit nearest() at the
+    final transform, not the stale last-iteration pairs."""
+    from locus_tpu.ops import neighbors
+
+    src = make_cube_cloud()
+    w = np.array([0.0, 0.0, 0.25], dtype=np.float32)
+    t = np.array([0.35, 0.1, 0.0], dtype=np.float32)
+    T_true = se3.make_transform(se3.so3_exp(jnp.asarray(w)), jnp.asarray(t))
+    tgt = src.transform(T_true)
+    # 2 iterations: large displacement cannot converge -> cap exit
+    cfg = RegistrationConfig(iterations=2, final_correspondence_relookup=True)
+    res = gicp_register(src, tgt, cfg=cfg)
+    assert not bool(res.converged)
+    p_fin = se3.transform_points(res.transform, src.xyz)
+    p_fin = jnp.where(src.mask[:, None], p_fin, src.xyz)
+    d2_ref, j_ref = neighbors.nearest(p_fin, tgt.xyz)
+    valid = np.asarray(res.corr_mask)
+    np.testing.assert_array_equal(
+        np.asarray(res.correspondences)[valid], np.asarray(j_ref)[valid]
+    )

@@ -46,6 +46,30 @@ def test_publisher_without_odom_stream():
         np.testing.assert_allclose(p[0, 3], 7.0)
 
 
+def test_publisher_rotation_slerp_bounded():
+    """During a pure rotation, the upsampled orientation must track the
+    true constant-rate rotation (slerp), not jump between endpoints —
+    the reference interpolates via tf2 (Locus.cc:601-642)."""
+    rate = 0.5  # rad/s about z
+    pub = FixedRatePublisher(rate_hz=10.0)
+    # odometry samples only every 0.2 s: the 10 Hz ticks land between them
+    for i in range(6):
+        t = i * 0.2
+        T = np.asarray(
+            se3.make_transform(se3.so3_exp(jnp.asarray([0, 0, rate * t])), jnp.zeros(3)),
+            np.float64,
+        )
+        pub.on_odom(t, T)
+    pub.on_scan_pose(0.0, np.eye(4))
+    pub.run_until(0.95)
+    assert len(pub.published) == 9
+    for t, p in pub.published:
+        yaw = np.arctan2(p[1, 0], p[0, 0])
+        # nearer-endpoint rotation would err by up to rate*0.1 = 0.05 rad;
+        # slerp keeps it at numerical noise
+        assert abs(yaw - rate * t) < 5e-3, (t, yaw)
+
+
 def test_interpolated_odom_delta():
     cfg = FusionConfig(b_integrate_interpolated_odom=True)
     st = fusion.init_state(cfg)

@@ -37,12 +37,17 @@ def main():
 
     packed = pack_sequence(seq, cfg, max_scans=144)
 
-    # compile both shapes
+    # precompile the 16-scan shape (used by the warm-up replays below)
     st = fresh_state()
     st, (p, _, _) = replay(st, sub(packed, 0, 16))
     np.asarray(p)
 
     def timed(state, pk, n, reps=3):
+        # one untimed call first: the lax.scan program for this scan
+        # count compiles here, so every timed rep below is warm
+        s0 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+        _, (poses0, _, _) = replay(s0, pk)
+        np.asarray(poses0)
         best = 0.0
         for _ in range(reps):
             s2 = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
