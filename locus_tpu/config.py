@@ -160,7 +160,14 @@ class FusionConfig:
     odometry_buffer_size: int = 128
     max_buffer_staleness: float = 0.1  # GetMsgAtTime rejection (Locus.cc:853-887)
     b_integrate_interpolated_odom: bool = False
+    # IMU->base_link extrinsic conversion (LoadCalibrationFromTfTree +
+    # IntegrateImu conjugation, Locus.cc:696-731, 1017-1042): when set,
+    # every IMU orientation delta is conjugated into the base frame by
+    # imu_to_base_quat (wxyz; rotation of the imu frame expressed in
+    # base_link — load from the sensors YAML via
+    # io.sensors.load_imu_calibration_quat).
     b_convert_imu_to_base_link_frame: bool = False
+    imu_to_base_quat: tuple = (1.0, 0.0, 0.0, 0.0)
 
 
 @dataclass(frozen=True)

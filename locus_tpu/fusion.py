@@ -284,6 +284,15 @@ def integrate_sensors(
     )
     imu_quat = state.imu.quats[ii]
     dq = se3.quat_multiply(se3.quat_conjugate(state.imu_quat_prev), imu_quat)
+    if cfg.b_convert_imu_to_base_link_frame:
+        # Conjugate the IMU-frame delta into the base frame:
+        # dq_base = q_bi · dq_imu · q_bi⁻¹ (IntegrateImu,
+        # Locus.cc:1017-1042 with the TF calibration of :696-731).
+        # Without this the prior is only correct for axis-aligned mounts.
+        q_bi = jnp.asarray(cfg.imu_to_base_quat, jnp.float32)
+        dq = se3.quat_multiply(
+            se3.quat_multiply(q_bi, dq), se3.quat_conjugate(q_bi)
+        )
     R_full = se3.quat_to_matrix(dq)
     R_yaw = se3.yaw_only_matrix(R_full)
     R_imu = R_yaw if mode == 2 else R_full

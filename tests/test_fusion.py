@@ -114,3 +114,75 @@ def test_batch_push_ignores_padding():
     quats = np.tile(quat_yaw(0.0), (4, 1))
     st = fusion.push_imu_batch(st, stamps, quats)
     assert int(jnp.sum(st.imu.valid)) == 2
+
+
+def _quat_wxyz_from_axis_angle(axis, angle):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    return np.concatenate([[np.cos(angle / 2)], np.sin(angle / 2) * axis]).astype(
+        np.float32
+    )
+
+
+def test_imu_to_base_frame_conversion():
+    """A 90°-roll-mounted IMU (x forward, y up, z right in base terms)
+    must still yield the correct base-frame yaw prior when
+    b_convert_imu_to_base_link_frame is set — the IntegrateImu
+    conjugation of Locus.cc:1017-1042. Without the conversion the same
+    samples produce a rotation about the wrong axis."""
+    import jax.numpy as jnp
+
+    # imu->base mounting: +90° roll about x
+    q_bi = _quat_wxyz_from_axis_angle([1, 0, 0], np.pi / 2)
+    # ground-truth base motion: 0.3 rad yaw (about base z)
+    yaw = 0.3
+    dq_base = _quat_wxyz_from_axis_angle([0, 0, 1], yaw)
+
+    def imu_sample(q_wb):
+        # IMU reports its own frame's world orientation: q_wi = q_wb ⊗ q_bi
+        return np.asarray(
+            se3.quat_multiply(jnp.asarray(q_wb), jnp.asarray(q_bi))
+        )
+
+    q_wb0 = _quat_wxyz_from_axis_angle([0, 0, 1], 0.0)
+    q_wb1 = np.asarray(
+        se3.quat_multiply(jnp.asarray(q_wb0), jnp.asarray(dq_base))
+    )
+
+    for convert, expect_ok in [(True, True), (False, False)]:
+        cfg = FusionConfig(
+            data_integration_mode=1,
+            b_convert_imu_to_base_link_frame=convert,
+            imu_to_base_quat=tuple(float(v) for v in q_bi),
+        )
+        st = fusion.init_state(cfg)
+        st = fusion.push_imu(st, 0.0, imu_sample(q_wb0), wall_time=0.0)
+        sel = fusion.integrate_sensors(st, 0.0, 0.0, cfg)   # anchor
+        st = fusion.push_imu(sel.state, 0.1, imu_sample(q_wb1), wall_time=0.1)
+        sel = fusion.integrate_sensors(st, 0.1, 0.1, cfg)
+        assert int(sel.source) == fusion.PRIOR_IMU
+        R = np.asarray(se3.rotation(sel.prior))
+        R_true = np.asarray(se3.quat_to_matrix(jnp.asarray(dq_base)))
+        err = np.linalg.norm(R - R_true)
+        if expect_ok:
+            assert err < 1e-5, err
+        else:
+            # unconverted: delta stays in the IMU frame (wrong axis)
+            assert err > 0.1, err
+
+
+def test_load_imu_calibration_quat(tmp_path):
+    from locus_tpu.io.sensors import load_imu_calibration_quat
+
+    p = tmp_path / "sensors.yaml"
+    p.write_text(
+        "lidars: {}\nimu:\n  xyzrpy: [0.0, 0.0, 0.1, 1.5707963, 0.0, 0.0]\n"
+    )
+    q = load_imu_calibration_quat(str(p))
+    np.testing.assert_allclose(
+        q, [np.cos(np.pi / 4), np.sin(np.pi / 4), 0, 0], atol=1e-6
+    )
+    # identity when absent
+    p2 = tmp_path / "none.yaml"
+    p2.write_text("lidars: {}\n")
+    assert load_imu_calibration_quat(str(p2)) == (1.0, 0.0, 0.0, 0.0)
