@@ -47,6 +47,10 @@ class PoseGraphBackend:
     keyframes: List[Keyframe] = field(default_factory=list)
     factors: List[tuple] = field(default_factory=list)  # (i, j, T_ij (4,4), info_scale)
     loops_found: int = 0
+    # (K,4,4) world-frame pose deltas of the last optimize() —
+    # T_new_k @ inv(T_old_k) per keyframe; feed to mapper.reanchor so the
+    # owned map follows the corrected trajectory
+    last_corrections: Optional[np.ndarray] = None
 
     # -- event ingestion ----------------------------------------------------
     def add_keyframe(self, stamp: float, pose: np.ndarray, cloud: Optional[PointCloud] = None):
@@ -131,6 +135,10 @@ class PoseGraphBackend:
         else:
             g = pg.optimize(g, iterations=iterations)
         out = np.asarray(g.poses, np.float64)
+        old = np.stack([k.pose for k in self.keyframes])
+        self.last_corrections = np.einsum(
+            "kij,kjl->kil", out, np.linalg.inv(old)
+        ).astype(np.float32)
         for k, kf in enumerate(self.keyframes):
             kf.pose = out[k]
         return out
@@ -139,3 +147,16 @@ class PoseGraphBackend:
         """The pose to push back into the front end
         (set_integrated_estimate) after optimize()."""
         return self.keyframes[-1].pose
+
+    def corrections_padded(self, bucket: int = 64) -> np.ndarray:
+        """last_corrections padded with identities to a multiple of
+        `bucket` keyframes, so the jitted reanchor sees few distinct
+        shapes (one compile per bucket size, not per keyframe count)."""
+        if self.last_corrections is None:
+            raise RuntimeError("optimize() has not run")
+        K = self.last_corrections.shape[0]
+        pad = (-K) % bucket
+        if pad == 0:
+            return self.last_corrections
+        fill = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+        return np.concatenate([self.last_corrections, fill])

@@ -38,6 +38,9 @@ class MapState(NamedTuple):
     chunk_max: jnp.ndarray         # (C,3) maxima — grown on insert
     # (conservative under ring overwrites), rebuilt exactly on MSW;
     # saves the full 131k bbox reduction every ANN call
+    kf_index: jnp.ndarray          # (M,) int32 keyframe provenance per
+    # slot (-1 = none/GT-map): lets a pose-graph correction re-anchor
+    # every stored point by its keyframe's pose delta (reanchor())
 
 
 def init_map(cfg: MapperConfig) -> MapState:
@@ -54,6 +57,7 @@ def init_map(cfg: MapperConfig) -> MapState:
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
+        kf_index=jnp.full((cfg.map_capacity,), -1, jnp.int32),
     )
 
 
@@ -122,6 +126,9 @@ def insert_keyframe(
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
+        kf_index=state.kf_index.at[write_idx].set(
+            state.num_keyframes, mode="drop"
+        ),
     )
 
 
@@ -146,6 +153,43 @@ def refresh_msw(
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
+    )
+
+
+def reanchor(state: MapState, corrections: jnp.ndarray, cfg: MapperConfig) -> MapState:
+    """Re-anchor the stored map after a pose-graph (loop-closure)
+    correction. `corrections` is (K,4,4): row k is the world-frame pose
+    delta of keyframe k, T_new_k @ inv(T_old_k) — stored world points
+    p = T_old @ p_sensor move to T_new @ p_sensor = corrections[k] @ p.
+    Keyframes beyond K-1 (and provenance-free slots, kf_index=-1, e.g. a
+    GT bootstrap map) are left in place.
+
+    The reference avoids this problem because LAMP owns the map
+    (PointCloudLocalization.h:114-117 only resets the pose); this repo
+    owns its map, so the scan-to-submap target must follow the corrected
+    trajectory or the next MeasurementUpdate registers against a
+    pre-correction world."""
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
+
+    K = corrections.shape[0]
+    k = jnp.clip(state.kf_index, 0, K - 1)
+    C = corrections[k]                           # (M,4,4) gather
+    apply = (state.kf_index >= 0) & (state.kf_index < K) & state.cloud.mask
+    xyz = (
+        jnp.einsum("nij,nj->ni", C[:, :3, :3], state.cloud.xyz)
+        + C[:, :3, 3]
+    )
+    nrm = jnp.einsum("nij,nj->ni", C[:, :3, :3], state.cloud.normals)
+    cloud = PointCloud(
+        jnp.where(apply[:, None], xyz, state.cloud.xyz),
+        jnp.where(apply[:, None], nrm, state.cloud.normals),
+        state.cloud.intensity,
+        state.cloud.mask,
+    )
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
+    return state._replace(
+        cloud=cloud, nn_aug=nn_aug, chunk_min=c_min, chunk_max=c_max
     )
 
 

@@ -43,6 +43,8 @@ class HashMapState(NamedTuple):
     nn_aug: jnp.ndarray             # cached (AUG, m_pad) NN operand
     chunk_min: jnp.ndarray          # (C,3) cached per-chunk bbox minima
     chunk_max: jnp.ndarray          # (C,3) maxima (see keyframe_map)
+    kf_index: jnp.ndarray           # (M,) int32 keyframe provenance
+    # (-1 = none): enables loop-closure re-anchoring (reanchor())
 
 
 def init_map(cfg: MapperConfig) -> HashMapState:
@@ -60,6 +62,7 @@ def init_map(cfg: MapperConfig) -> HashMapState:
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
+        kf_index=jnp.full((cfg.map_capacity,), -1, jnp.int32),
     )
 
 
@@ -117,6 +120,7 @@ def insert_keyframe(
         nn_aug=update_nn_target(state.nn_aug, idx, keyframe.xyz, write),
         chunk_min=c_min,
         chunk_max=c_max,
+        kf_index=state.kf_index.at[idx].set(state.num_keyframes, mode="drop"),
     )
 
 
@@ -139,6 +143,42 @@ def refresh_msw(
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
+    )
+
+
+def reanchor(
+    state: HashMapState, corrections: jnp.ndarray, cfg: MapperConfig
+) -> HashMapState:
+    """Loop-closure re-anchoring (see keyframe_map.reanchor). Voxel keys
+    are recomputed from the moved positions so same-voxel dedup keeps
+    working; slots keep their original hash location, so a moved point
+    may sit in a slot its new key would not hash to — future inserts of
+    that voxel then land in a second slot (a transient duplicate at one
+    point per voxel, bounded, and cleared by the next MSW refresh)."""
+    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
+
+    K = corrections.shape[0]
+    k = jnp.clip(state.kf_index, 0, K - 1)
+    C = corrections[k]
+    apply = (state.kf_index >= 0) & (state.kf_index < K) & state.cloud.mask
+    xyz = (
+        jnp.einsum("nij,nj->ni", C[:, :3, :3], state.cloud.xyz)
+        + C[:, :3, 3]
+    )
+    nrm = jnp.einsum("nij,nj->ni", C[:, :3, :3], state.cloud.normals)
+    cloud = PointCloud(
+        jnp.where(apply[:, None], xyz, state.cloud.xyz),
+        jnp.where(apply[:, None], nrm, state.cloud.normals),
+        state.cloud.intensity,
+        state.cloud.mask,
+    )
+    keys = jnp.where(
+        apply[:, None], _voxel_ijk(cloud.xyz, cfg.map_voxel_leaf), state.keys
+    )
+    nn_aug = build_nn_target(cloud.xyz)
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
+    return state._replace(
+        cloud=cloud, keys=keys, nn_aug=nn_aug, chunk_min=c_min, chunk_max=c_max
     )
 
 

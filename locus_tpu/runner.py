@@ -19,7 +19,21 @@ from locus_tpu import fusion, pipeline
 from locus_tpu.config import LocusConfig
 from locus_tpu.core.cloud import PointCloud, PAD_COORD
 from locus_tpu.io.dataset import Sequence, sensor_windows_for_scan
+from locus_tpu.mapping.registry import mapper_fabric
 from locus_tpu.metrics import RateReport
+
+_reanchor_cache = {}
+
+
+def _reanchor_jit(mp_impl, mapper_cfg):
+    """Jitted mapper.reanchor, cached per (structure, cfg) — fires only
+    on loop-closure corrections, so the compile is a one-time cost."""
+    key = (mp_impl.__name__, mapper_cfg)
+    if key not in _reanchor_cache:
+        _reanchor_cache[key] = jax.jit(
+            partial(mp_impl.reanchor, cfg=mapper_cfg)
+        )
+    return _reanchor_cache[key]
 
 
 def pack_scan(xyz: np.ndarray, valid: np.ndarray, capacity: int):
@@ -250,8 +264,19 @@ def run_sequence(
                     corrected = jnp.asarray(
                         backend.correction_for_latest(), dtype=jnp.float32
                     )
+                    # Re-anchor the owned map onto the corrected
+                    # trajectory (keyframe-provenance transform) so the
+                    # next scan-to-submap target is consistent with the
+                    # pushed-back pose; also move the keyframe-policy
+                    # anchor so the next keyframe isn't forced.
+                    mp_impl = mapper_fabric(cfg.mapper)
+                    corr = jnp.asarray(backend.corrections_padded())
                     state = state._replace(
-                        loc=loc_mod.set_integrated_estimate(state.loc, corrected)
+                        loc=loc_mod.set_integrated_estimate(state.loc, corrected),
+                        map=_reanchor_jit(mp_impl, cfg.mapper)(state.map, corr),
+                        # distinct buffer: the step donates its state, and
+                        # two leaves sharing `corrected` break donation
+                        last_keyframe_pose=jnp.array(corrected, copy=True),
                     )
         if th is not None:
             th.join()

@@ -179,3 +179,97 @@ def test_voxel_hash_pipeline_e2e():
     ate = ate_rmse(poses[:, :3, 3], seq.gt_poses[:10, :3, 3], align=False)
     assert ate < 0.2, ate
     assert outputs[-1]["map_size"] > 0
+
+
+def _rot_z(angle):
+    c, s = np.cos(angle), np.sin(angle)
+    T = np.eye(4, dtype=np.float32)
+    T[0, 0], T[0, 1], T[1, 0], T[1, 1] = c, -s, s, c
+    return T
+
+
+def test_reanchor_moves_points_by_keyframe_provenance():
+    """Each stored point must move by ITS keyframe's correction; other
+    keyframes' points and padding stay put."""
+    st = km.init_map(CFG)
+    kf0, kf1 = grid_cloud(0.0), grid_cloud(10.0)
+    st = km.insert_keyframe(st, kf0, CFG)
+    st = km.insert_keyframe(st, kf1, CFG)
+    before = np.asarray(st.cloud.xyz).copy()
+    prov = np.asarray(st.kf_index)
+    mask = np.asarray(st.cloud.mask)
+
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [0.7, 0.0, 0.0]           # keyframe 1 moves +0.7x
+    corr = np.stack([np.eye(4, dtype=np.float32), shift])
+    st2 = km.reanchor(st, jnp.asarray(corr), CFG)
+    after = np.asarray(st2.cloud.xyz)
+
+    np.testing.assert_allclose(
+        after[mask & (prov == 0)], before[mask & (prov == 0)], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        after[mask & (prov == 1)] - before[mask & (prov == 1)],
+        np.tile([0.7, 0, 0], (int((mask & (prov == 1)).sum()), 1)),
+        atol=1e-5,
+    )
+    # padding untouched (sentinels preserved)
+    np.testing.assert_array_equal(after[~mask], before[~mask])
+
+
+def test_reanchor_rotates_normals_and_ann_consistent():
+    """Rotation corrections must rotate stored normals, and the cached
+    ANN operand must be rebuilt so queries against the moved map hit."""
+    cfg = MapperConfig(map_capacity=1024, keyframe_capacity=256, map_voxel_leaf=0.05)
+    st = km.init_map(cfg)
+    # plane z=0 with +z normals
+    xy = np.stack(np.meshgrid(np.linspace(0, 2, 12), np.linspace(0, 2, 12)), -1)
+    pts = np.concatenate([xy.reshape(-1, 2), np.zeros((144, 1))], 1).astype(np.float32)
+    nrm = np.tile([0, 0, 1], (144, 1)).astype(np.float32)
+    kf = PointCloud.from_points(pts, capacity=256, normals=nrm)
+    st = km.insert_keyframe(st, kf, cfg)
+
+    T = _rot_z(0.5)
+    T[:3, 3] = [1.0, -0.5, 0.3]
+    st2 = km.reanchor(st, jnp.asarray(T[None]), cfg)
+    m = np.asarray(st2.cloud.mask)
+    # normals still +z (rotation about z)
+    np.testing.assert_allclose(
+        np.asarray(st2.cloud.normals)[m], nrm[: m.sum()], atol=1e-5
+    )
+    # ANN query at a moved location finds the moved points
+    q_pts = (T[:3, :3] @ pts[:5].T).T + T[:3, 3]
+    q = PointCloud.from_points(q_pts.astype(np.float32), capacity=128)
+    out, d2 = km.approx_nearest_neighbors(st2, q, return_d2=True, radius=2.0)
+    assert np.all(np.asarray(d2)[:5] < 1e-6)
+
+
+def test_reanchor_voxel_hash_keys_follow():
+    from locus_tpu.mapping import voxel_hash_map as vh
+
+    cfg = MapperConfig(
+        map_capacity=2048, keyframe_capacity=128, map_voxel_leaf=0.1,
+        structure="voxel_hash",
+    )
+    st = vh.init_map(cfg)
+    st = vh.insert_keyframe(st, grid_cloud(0.0), cfg)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [3.0, 0.0, 0.0]
+    st2 = vh.reanchor(st, jnp.asarray(shift[None]), cfg)
+    occ = np.asarray(st2.occupied)
+    keys = np.asarray(st2.keys)[occ]
+    xyz = np.asarray(st2.cloud.xyz)[occ]
+    np.testing.assert_array_equal(keys, np.floor(xyz / 0.1).astype(np.int32))
+
+
+def test_reanchor_ignores_unprovenanced_slots():
+    """GT-bootstrap maps (kf_index=-1) must not move."""
+    st = km.init_map(CFG)
+    st = km.insert_keyframe(st, grid_cloud(0.0), CFG)
+    st = st._replace(kf_index=jnp.full_like(st.kf_index, -1))
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [5.0, 0, 0]
+    st2 = km.reanchor(st, jnp.asarray(shift[None]), CFG)
+    np.testing.assert_array_equal(
+        np.asarray(st2.cloud.xyz), np.asarray(st.cloud.xyz)
+    )

@@ -137,3 +137,99 @@ def test_online_backend_in_runner():
     # trajectory still sane after in-flight corrections
     err = np.linalg.norm(poses[-1][:3, 3] - seq.gt_poses[-1][:3, 3])
     assert err < 0.5, err
+
+
+def test_closure_correction_keeps_map_consistent():
+    """After a >0.5 m pose-graph correction, re-anchoring the owned map
+    must keep scan-to-submap consistent: pose+map move together, so
+    subsequent measurement updates track (shifted) ground truth. Without
+    re-anchoring the stale map drags the estimate back toward the
+    pre-correction world — the inconsistency VERDICT flagged."""
+    seq = loop_sequence(num_scans=36)
+    cfg = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(
+            map_capacity=16384, keyframe_capacity=1024, map_voxel_leaf=0.1
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    rstep = make_replay_step(cfg)
+
+    def run_prefix(n):
+        state = pipeline.init_state(
+            cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+        )
+        state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+        for i in range(n):
+            xyz, mask = pack_scan(
+                seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity
+            )
+            (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+            state, out = rstep(
+                state, jnp.asarray(xyz), jnp.asarray(mask),
+                jnp.asarray(seq.stamps[i], jnp.float32),
+                jnp.asarray(imu_s), jnp.asarray(imu_q),
+                jnp.asarray(odom_s), jnp.asarray(odom_p),
+                jnp.asarray(i, jnp.int32),
+            )
+        return state, out
+
+    def run_suffix(state, lo, hi):
+        for i in range(lo, hi):
+            xyz, mask = pack_scan(
+                seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity
+            )
+            (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+            state, out = rstep(
+                state, jnp.asarray(xyz), jnp.asarray(mask),
+                jnp.asarray(seq.stamps[i], jnp.float32),
+                jnp.asarray(imu_s), jnp.asarray(imu_q),
+                jnp.asarray(odom_s), jnp.asarray(odom_p),
+                jnp.asarray(i, jnp.int32),
+            )
+        return state, out
+
+    n_pre, n_post = 24, 36
+    state0, out0 = run_prefix(n_pre)
+    shift = np.eye(4, dtype=np.float32)
+    shift[:3, 3] = [0.6, -0.3, 0.2]          # ||t|| ≈ 0.7 m correction
+    T_shift = jnp.asarray(shift)
+    corrected_pose = T_shift @ jnp.asarray(out0.pose, jnp.float32)
+    K = int(state0.stats.keyframe_count)
+    assert K >= 2
+    corr = jnp.tile(T_shift[None], (K, 1, 1))
+
+    from locus_tpu import localization as loc_mod
+    from locus_tpu.mapping import keyframe_map as km_mod
+
+    base = state0._replace(
+        loc=loc_mod.set_integrated_estimate(state0.loc, corrected_pose),
+        odom=state0.odom._replace(integrated=corrected_pose),
+        last_keyframe_pose=T_shift @ state0.last_keyframe_pose,
+    )
+
+    with_anchor = base._replace(map=km_mod.reanchor(state0.map, corr, cfg.mapper))
+    without_anchor = base
+
+    gt_shifted = shift.astype(np.float64) @ seq.gt_poses[n_post - 1]
+
+    def fresh(tree):
+        # distinct buffers: the jitted step donates its input state
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), tree)
+
+    with_anchor = fresh(with_anchor)
+    without_anchor = fresh(without_anchor)
+
+    _, out_good = run_suffix(with_anchor, n_pre, n_post)
+    err_good = np.linalg.norm(np.asarray(out_good.pose)[:3, 3] - gt_shifted[:3, 3])
+    assert bool(out_good.scan_to_map_accepted)
+    assert err_good < 0.15, err_good
+
+    _, out_bad = run_suffix(without_anchor, n_pre, n_post)
+    err_bad = np.linalg.norm(np.asarray(out_bad.pose)[:3, 3] - gt_shifted[:3, 3])
+    # the stale map pulls the estimate back toward the old world by a
+    # large fraction of the 0.7 m correction
+    assert err_bad > 3.0 * max(err_good, 0.05), (err_good, err_bad)
