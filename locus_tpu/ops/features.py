@@ -88,6 +88,146 @@ def compute_curvature(grid_xyz: jnp.ndarray, valid: jnp.ndarray, half: int = 5):
     return jnp.where(all_valid, c, jnp.inf), all_valid
 
 
+def unreliable_mask(
+    grid_xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    half: int = 5,
+) -> jnp.ndarray:
+    """Occluded-edge and parallel-beam exclusions (setScanBuffersFor,
+    PointCloudFilter.cc:428-486): cells that must never become features.
+
+    Two rules, vectorized along the ring axis:
+    1. Occlusion boundary: a jump to the NEXT cell (squared gap > 0.1)
+       where the lateral (depth-normalized) offset is small means one
+       surface occludes another — the FARTHER side of the edge is not a
+       real corner. Suppress `half`+1 cells on the far side.
+    2. Sharp-ramp / parallel beam: a cell whose gaps to BOTH neighbors
+       exceed ~4x the expected tangential spacing (range x cell angle)
+       is either an isolated return or on a surface nearly parallel to
+       the beam — unstable, suppress. The reference's absolute form
+       (0.0002 x squared range) encodes its 0.2 deg beam spacing; the
+       angular form here reproduces it exactly at width=1800 and stays
+       meaningful at other grid resolutions.
+    """
+    p = grid_xyz
+    nxt = jnp.roll(p, -1, axis=1)
+    prv = jnp.roll(p, 1, axis=1)
+    v_nxt = jnp.roll(valid, -1, axis=1)
+    v_prv = jnp.roll(valid, 1, axis=1)
+
+    diff_next = jnp.sum((nxt - p) ** 2, axis=-1)
+    diff_prev = jnp.sum((p - prv) ** 2, axis=-1)
+    depth = jnp.linalg.norm(p, axis=-1)
+    depth_next = jnp.linalg.norm(nxt, axis=-1)
+
+    pair_ok = valid & v_nxt
+    jump = pair_ok & (diff_next > 0.1)
+
+    # weighted (lateral) distance between the two rays at the nearer depth
+    ratio_fn = jnp.where(depth > 1e-6, depth_next / jnp.maximum(depth, 1e-6), 0.0)
+    ratio_nf = jnp.where(depth_next > 1e-6, depth / jnp.maximum(depth_next, 1e-6), 0.0)
+    # current farther: scale current ray down to next's depth
+    lat_far = (
+        jnp.linalg.norm(p * ratio_fn[..., None] - nxt, axis=-1)
+        / jnp.maximum(depth_next, 1e-6)
+    )
+    # next farther: scale next ray down to current's depth
+    lat_near = (
+        jnp.linalg.norm(nxt * ratio_nf[..., None] - p, axis=-1)
+        / jnp.maximum(depth, 1e-6)
+    )
+    # trigger at cell i: suppress i-half..i (current side farther)
+    trig_far = jump & (depth > depth_next) & (lat_far < 0.1)
+    # trigger at cell i: suppress i+1..i+half+1 (next side farther)
+    trig_near = jump & (depth <= depth_next) & (lat_near < 0.1)
+
+    blocked = jnp.zeros_like(valid)
+    for d in range(0, half + 1):
+        # cell j is within [i-half, i] of a far-trigger i=j+d
+        blocked = blocked | jnp.roll(trig_far, -d, axis=1)
+    for d in range(1, half + 2):
+        # cell j is within [i+1, i+half+1] of a near-trigger i=j-d
+        blocked = blocked | jnp.roll(trig_near, d, axis=1)
+
+    dis = jnp.sum(p * p, axis=-1)
+    cell_angle = 2.0 * jnp.pi / p.shape[1]
+    ramp_k = (4.0 * cell_angle) ** 2      # = 2e-4 at the VLP-16's 1800 cols
+    ramp = (
+        valid & v_nxt & v_prv
+        & (diff_next > ramp_k * dis)
+        & (diff_prev > ramp_k * dis)
+    )
+    return blocked | ramp
+
+
+def _greedy_pick(
+    score: jnp.ndarray,
+    eligible: jnp.ndarray,
+    suppressed: jnp.ndarray,
+    gap: jnp.ndarray,
+    num_regions: int,
+    region_w: int,
+    picks: int,
+    promote_first: int,
+    label_hi: int,
+    label_lo: int,
+    half: int = 5,
+):
+    """Batched greedy feature picking with markAsPicked suppression
+    (PointCloudFilter.cc:319-364, 488-510): `picks` rounds; each round
+    every region picks its best not-suppressed candidate, then the
+    picked cell and up to `half` ring neighbors on each side are
+    suppressed — stopping at the first inter-cell gap > 0.05 (a depth
+    discontinuity ends the suppression window, markAsPicked:494-508).
+    The first `promote_first` successful picks get `label_hi`, the rest
+    `label_lo`.
+
+    Deviation from the reference (documented): regions pick
+    simultaneously per round instead of strictly sequentially, so two
+    picks in ADJACENT regions can land within `half` cells across the
+    region boundary in the same round; within a region (and across
+    rounds) the non-adjacency contract is exact.
+    """
+    W = num_regions * region_w
+    rings = score.shape[0]
+    flat_score = score.reshape(rings, num_regions, region_w)
+    col_base = jnp.arange(num_regions) * region_w  # region -> ring column
+
+    def body(k, carry):
+        label, supp = carry
+        cand = eligible & ~supp
+        cand_score = jnp.where(
+            cand.reshape(rings, num_regions, region_w), flat_score, -jnp.inf
+        )
+        best = jnp.argmax(cand_score, axis=-1)             # (rings, R)
+        best_ok = jnp.take_along_axis(
+            cand_score, best[..., None], axis=-1
+        )[..., 0] > -jnp.inf
+        cols = col_base[None, :] + best                     # ring columns
+        # one-hot of this round's picks on the ring layout
+        oh = jnp.zeros((rings, W), bool)
+        oh = oh.at[jnp.arange(rings)[:, None], cols].set(best_ok)
+
+        lab = jnp.where(k < promote_first, label_hi, label_lo)
+        label = jnp.where(oh, lab, label)
+
+        # suppression wave: walk outward up to `half` cells, dying at
+        # the first gap (> 0.05 squared) between consecutive cells
+        supp = supp | oh
+        run_r = oh
+        run_l = oh
+        for _ in range(half):
+            # rightward: entering cell j requires no gap between j-1, j
+            run_r = jnp.roll(run_r, 1, axis=1) & ~gap
+            # leftward: entering cell j requires no gap between j, j+1
+            run_l = jnp.roll(run_l, -1, axis=1) & ~jnp.roll(gap, -1, axis=1)
+            supp = supp | run_r | run_l
+        return label, supp
+
+    label0 = jnp.zeros((rings, W), jnp.int32)
+    return jax.lax.fori_loop(0, picks, body, (label0, suppressed))
+
+
 def extract_features(
     cloud: PointCloud,
     width: int = 1024,
@@ -96,44 +236,52 @@ def extract_features(
     less_sharp_per_region: int = 20,
     flat_per_region: int = 4,
     curvature_threshold: float = 0.1,
+    suppression_half: int = 5,
 ) -> FeatureGrid:
     """Label grid cells as SHARP/LESS_SHARP/FLAT/LESS_FLAT with LOAM's
-    per-region budgets (the reference's region buffers)."""
+    per-region budgets, occluded/parallel-beam exclusions, and
+    markAsPicked neighbor suppression (the full selection contract of
+    PointCloudFilter.cc:269-386)."""
     grid_xyz, valid = to_range_image(cloud, width)
     curv, cvalid = compute_curvature(grid_xyz, valid)
+    blocked = unreliable_mask(grid_xyz, valid, half=suppression_half)
 
-    region_w = width // num_regions
     usable = width - width % num_regions
-    # (RINGS, R, region_w)
-    c_reg = curv[:, :usable].reshape(RINGS, num_regions, region_w)
-    v_reg = cvalid[:, :usable].reshape(RINGS, num_regions, region_w)
+    region_w = usable // num_regions
 
-    # sharp: largest curvature above threshold
-    c_sharp = jnp.where(v_reg & (c_reg >= curvature_threshold) & jnp.isfinite(c_reg), c_reg, -jnp.inf)
-    top_sharp, sharp_idx = jax.lax.top_k(c_sharp, less_sharp_per_region)
-    label_reg = jnp.zeros_like(c_reg, dtype=jnp.int32)
-    rows = jnp.arange(RINGS)[:, None, None]
-    regs = jnp.arange(num_regions)[None, :, None]
-    ls_ok = jnp.isfinite(top_sharp)
-    label_reg = label_reg.at[rows, regs, sharp_idx].max(
-        jnp.where(ls_ok, LESS_SHARP, NONE)
-    )
-    s_ok = jnp.isfinite(top_sharp[..., :sharp_per_region])
-    label_reg = label_reg.at[rows, regs, sharp_idx[..., :sharp_per_region]].max(
-        jnp.where(s_ok, SHARP, NONE)
-    )
+    c = curv[:, :usable]
+    v = cvalid[:, :usable] & ~blocked[:, :usable]
+    # inter-cell squared gaps on the ring (for the suppression-wave stop)
+    gap_full = (
+        jnp.sum((grid_xyz - jnp.roll(grid_xyz, 1, axis=1)) ** 2, axis=-1) > 0.05
+    ) | ~valid | ~jnp.roll(valid, 1, axis=1)
+    gap = gap_full[:, :usable]
 
-    # flat: smallest curvature below threshold
-    c_flat = jnp.where(v_reg & (c_reg < curvature_threshold), -c_reg, -jnp.inf)
-    top_flat, flat_idx = jax.lax.top_k(c_flat, flat_per_region)
-    f_ok = jnp.isfinite(top_flat)
-    label_reg = label_reg.at[rows, regs, flat_idx].max(jnp.where(f_ok, FLAT, NONE))
-    # remaining valid low-curvature cells: LESS_FLAT
-    below = v_reg & (c_reg < curvature_threshold) & (label_reg == NONE)
-    label_reg = jnp.where(below, LESS_FLAT, label_reg)
+    # corners: descending curvature above threshold, shared suppression
+    corner_elig = v & (c >= curvature_threshold) & jnp.isfinite(c)
+    corner_label, supp = _greedy_pick(
+        c, corner_elig, jnp.zeros_like(corner_elig), gap,
+        num_regions, region_w,
+        picks=less_sharp_per_region, promote_first=sharp_per_region,
+        label_hi=SHARP, label_lo=LESS_SHARP, half=suppression_half,
+    )
+    # flats: ascending curvature below threshold; suppression carries
+    # over from the corner picks (one shared scanNeighborPicked buffer)
+    flat_elig = v & (c < curvature_threshold)
+    flat_label, _ = _greedy_pick(
+        -c, flat_elig, supp, gap,
+        num_regions, region_w,
+        picks=flat_per_region, promote_first=flat_per_region,
+        label_hi=FLAT, label_lo=FLAT, half=suppression_half,
+    )
+    label_u = jnp.maximum(corner_label, flat_label)
+    # remaining valid low-curvature cells: LESS_FLAT (the bulk surface
+    # cloud; the reference pushes all unlabeled region cells here)
+    below = cvalid[:, :usable] & (c < curvature_threshold) & (label_u == NONE)
+    label_u = jnp.where(below, LESS_FLAT, label_u)
 
     label = jnp.zeros((RINGS, width), jnp.int32)
-    label = label.at[:, :usable].set(label_reg.reshape(RINGS, usable))
+    label = label.at[:, :usable].set(label_u)
     return FeatureGrid(xyz=grid_xyz, valid=valid, curvature=curv, label=label)
 
 
