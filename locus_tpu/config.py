@@ -77,11 +77,13 @@ class LocalizationConfig:
         default_factory=RegistrationConfig.localization_default
     )
     compute_icp_covariance: bool = True
-    icp_covariance_method: int = 1      # 1 = point-to-plane (only supported)
+    # 1 = point-to-plane. The reference removed method 0 (point-to-point)
+    # and hard-errors on it (PointCloudLocalization.cc:403-419); other
+    # values raise ValueError at step-build time here.
+    icp_covariance_method: int = 1
     icp_max_covariance: float = 0.01
     compute_icp_observability: bool = False
     normal_search_radius: float = 10.0
-    k_nearest_neighbours: int = 10
 
 
 @dataclass(frozen=True)
@@ -195,8 +197,11 @@ class LocusConfig:
 
     # -- orchestrator --
     odom_pub_rate: float = 10.0
-    translation_threshold_kf: float = 1.0
-    rotation_threshold_kf: float = 0.3
+    # Keyframe thresholds: the reference's base translation/rotation_
+    # threshold_kf params are the *initial* values of the active
+    # thresholds, overwritten by the space monitor (Locus.cc:571-576);
+    # here the closed-space variants ARE the defaults (identical values)
+    # and open_space state selects between the two profiles.
     translation_threshold_closed_space_kf: float = 1.0
     rotation_threshold_closed_space_kf: float = 0.3
     translation_threshold_open_space_kf: float = 2.0

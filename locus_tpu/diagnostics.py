@@ -81,6 +81,13 @@ def from_step_output(
         rec.statuses.append(
             ModuleStatus("scan_input", WARN, f"dropped={stats_window_dropped}")
         )
+    # xy cross-section (b_publish_xy_cross_section; the reference
+    # publishes the localizer-space area on its own topic)
+    xsec = getattr(out, "xy_cross_section", None)
+    if xsec is not None and float(xsec) >= 0:
+        rec.statuses.append(
+            ModuleStatus("space_monitor", OK, f"xy_cross_section={float(xsec):.1f}")
+        )
     return rec
 
 

@@ -54,10 +54,15 @@ class LiveSession:
     # so accuracy semantics are preserved while the device-side sort
     # runs on ~8x fewer points.
     host_prevoxelize: bool = False
+    # Map publishing (mapper_->PublishMap every map_publishment_meters
+    # keyframes, Locus.cc:536-543): called with (scan_count, map_state)
+    # on every cfg.map_publishment_meters-th keyframe insertion.
+    map_sink: Optional[object] = None
 
     def __post_init__(self):
         self._rstep = make_replay_step(self.cfg)
-        state = pipeline.init_state(
+        # config-driven GT-map bootstrap (InitWithGTPointCloud) included
+        state = pipeline.init_state_from_config(
             self.cfg,
             initial_pose=None
             if self.initial_pose is None
@@ -69,6 +74,7 @@ class LiveSession:
         self._imu_queue: list = []
         self._odom_queue: list = []
         self._scan_count = 0
+        self._keyframe_count = 0
         self.diag = diagnostics.DiagnosticsLog(
             window_s=self.cfg.statistics_time_window
         )
@@ -99,9 +105,16 @@ class LiveSession:
     # -- the scan tick -----------------------------------------------------
     def process_scan(self, stamp: float, xyz: np.ndarray, valid=None):
         """Process one merged base-frame sweep; returns (pose, outputs)."""
+        import contextlib
+
         from locus_tpu.runner import pack_scan
 
-        with self.timer.time("lidar_callback"):
+        timing = (
+            self.timer.time("lidar_callback")
+            if self.cfg.b_enable_computation_time_profiling
+            else contextlib.nullcontext()
+        )
+        with timing:
             xyz = np.asarray(xyz, np.float32)
             valid_arr = np.ones(len(xyz), bool) if valid is None else np.asarray(valid, bool)
             if self.host_prevoxelize:
@@ -133,6 +146,13 @@ class LiveSession:
             pose = np.asarray(out.pose)
 
         self._scan_count += 1
+        if bool(out.keyframe_inserted):
+            self._keyframe_count += 1
+            if (
+                self.map_sink is not None
+                and self._keyframe_count % max(self.cfg.map_publishment_meters, 1) == 0
+            ):
+                self.map_sink(self._scan_count, self.state.map)
         if self.publisher is not None:
             # fire ticks due since the previous scan (upsampled from the
             # previous pose + odometry stream), then install the new pose

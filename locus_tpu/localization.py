@@ -184,6 +184,14 @@ def measurement_update(
 ) -> MeasurementResult:
     """Align `query` (sensor frame) to `reference` (submap neighbors in the
     sensor frame) and fold the correction into the pose (.cc:291-427)."""
+    if cfg.compute_icp_covariance and cfg.icp_covariance_method != 1:
+        # the reference removed method 0 and exits on it; other values
+        # are config errors (PointCloudLocalization.cc:403-419)
+        raise ValueError(
+            f"icp_covariance_method={cfg.icp_covariance_method} is not "
+            "supported: only 1 (point-to-plane) exists — the reference "
+            "removed method 0 (point-to-point)"
+        )
     rcfg = cfg.registration
     align = make_registrar(rcfg)  # gicp | ndt
     icp = align(query, reference)

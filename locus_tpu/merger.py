@@ -66,6 +66,13 @@ def merge(
     False) are masked out — the 3->2->1->0 failover.
     Optional random / radius filters mirror PointCloudMerger.cc:123-178.
     """
+    if len(clouds) != cfg.number_of_velodynes:
+        # the reference builds its sync graph from this count and warns
+        # on other values (PointCloudMerger.cc:64-84)
+        raise ValueError(
+            f"merge got {len(clouds)} clouds but cfg.number_of_velodynes="
+            f"{cfg.number_of_velodynes}"
+        )
     transformed = []
     for i, (c, T) in enumerate(zip(clouds, extrinsics)):
         c = c.transform(jnp.asarray(T, jnp.float32))

@@ -80,6 +80,8 @@ class StepOutput(NamedTuple):
     odom_iterations: jnp.ndarray
     loc_iterations: jnp.ndarray
     map_size: jnp.ndarray
+    xy_cross_section: jnp.ndarray      # m^2 (b_publish_xy_cross_section;
+    # -1 when the in-graph space monitor is off)
 
 
 def init_state(cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None) -> LocusState:
@@ -150,6 +152,14 @@ def preprocess(
         pc = cloud_lib.concatenate([edge, planar], capacity=cfg.scan_capacity)
     else:
         pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
+    if f.grid_filter:
+        # PointCloudFilter's OWN fixed-leaf voxel grid
+        # (PointCloudFilter.cc:119-130), distinct from the runtime-leaf
+        # CustomVoxelGrid stage above; a second pass at grid_res only
+        # thins further when grid_res > the adaptive leaf.
+        pc = voxel.voxel_downsample(
+            pc, jnp.asarray(f.grid_res, jnp.float32), capacity=cfg.scan_capacity
+        )
     if f.random_filter and key is not None:
         pct = jnp.asarray(f.decimate_percentage, jnp.float32)
         if open_space is not None:
@@ -239,8 +249,13 @@ def step(
             jnp.max(ys) - jnp.min(y), 0.0
         )
         open_space = area > cfg.xy_cross_section_threshold
+        xy_cross_section = (
+            area if cfg.b_publish_xy_cross_section
+            else jnp.asarray(-1.0, jnp.float32)
+        )
     else:
         open_space = state.open_space
+        xy_cross_section = jnp.asarray(-1.0, jnp.float32)
 
     # -- prior selection (IntegrateSensors) --------------------------------
     sel = fusion.integrate_sensors(
@@ -398,6 +413,7 @@ def step(
         odom_iterations=odo.icp.iterations,
         loc_iterations=meas.icp.iterations,
         map_size=mp_impl.map_size(new_map),
+        xy_cross_section=xy_cross_section,
     )
     return new_state, out
 
@@ -449,6 +465,36 @@ def init_with_gt_map(
             chunk_max=c_max,
         )
     return state._replace(map=new_map)
+
+
+def init_state_from_config(
+    cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None
+) -> LocusState:
+    """Config-driven init (the reference's Initialize flow): when
+    b_run_with_gt_point_cloud is set, bootstrap the map from
+    gt_point_cloud_filename (InitWithGTPointCloud, Locus.cc:745-758) —
+    pair with b_add_keyframes_enabled=False for pure localization."""
+    if cfg.b_run_with_gt_point_cloud:
+        if not cfg.gt_point_cloud_filename:
+            raise ValueError(
+                "b_run_with_gt_point_cloud requires gt_point_cloud_filename"
+            )
+        import numpy as np
+
+        from locus_tpu.io import pcd as pcd_mod
+
+        data = pcd_mod.read_pcd(cfg.gt_point_cloud_filename)
+        xyz = np.stack(
+            [np.asarray(data[k], np.float32) for k in ("x", "y", "z")], axis=1
+        )
+        normals = None
+        if all(k in data for k in ("normal_x", "normal_y", "normal_z")):
+            normals = np.stack(
+                [np.asarray(data[k], np.float32)
+                 for k in ("normal_x", "normal_y", "normal_z")], axis=1
+            )
+        return init_with_gt_map(cfg, xyz, normals, initial_pose)
+    return init_state(cfg, initial_pose)
 
 
 def set_open_space(state: LocusState, open_space) -> LocusState:

@@ -196,7 +196,9 @@ def run_sequence(
     integration contract, PointCloudLocalization.h:114-117)."""
     cfg = cfg or LocusConfig()
     rstep = make_replay_step(cfg)
-    state = pipeline.init_state(cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32))
+    state = pipeline.init_state_from_config(
+        cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+    )
     # XLA dedups identical constants (several identity poses share one
     # buffer) which breaks donation; force distinct buffers.
     state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
@@ -238,8 +240,10 @@ def run_sequence(
             th.start()
         t0 = time.perf_counter()
         state, out = rstep(state, *args)
-        if collect_outputs:
-            np.asarray(out.pose)  # per-scan latency fence
+        if collect_outputs and cfg.b_enable_computation_time_profiling:
+            # per-scan latency fence (lidar_callback_duration analog);
+            # off -> scans stream without a host sync per scan
+            np.asarray(out.pose)
             report.add(time.perf_counter() - t0)
         device_outs.append(out)
 

@@ -159,3 +159,72 @@ def test_live_host_prevoxelize_tracks():
         )
     assert results[True] < 0.15, results
     assert results[False] < 0.15, results
+
+
+def test_live_map_publish_cadence(seq):
+    """map_publishment_meters (Locus.cc:536-543): the map sink fires on
+    every Nth keyframe insertion."""
+    import dataclasses
+
+    published = []
+    cfg = dataclasses.replace(
+        small_cfg(),
+        map_publishment_meters=1,
+        # force frequent keyframes
+        translation_threshold_closed_space_kf=0.1,
+        rotation_threshold_closed_space_kf=0.05,
+    )
+    sess = LiveSession(
+        cfg=cfg, initial_pose=seq.gt_poses[0],
+        map_sink=lambda sc, mp: published.append(sc),
+    )
+    sess.run(scan_stream(seq, 8))
+    assert len(published) >= 2
+    # cadence 2: about half the publishes
+    published2 = []
+    sess2 = LiveSession(
+        cfg=dataclasses.replace(cfg, map_publishment_meters=2),
+        initial_pose=seq.gt_poses[0],
+        map_sink=lambda sc, mp: published2.append(sc),
+    )
+    sess2.run(scan_stream(seq, 8))
+    assert 0 < len(published2) <= (len(published) + 1) // 2
+
+
+def test_live_gt_map_bootstrap(tmp_path, seq):
+    """Config-driven InitWithGTPointCloud (Locus.cc:745-758): the map is
+    pre-filled from the PCD and, with keyframes disabled, the session
+    runs as pure localization."""
+    import dataclasses
+
+    from locus_tpu.io import pcd as pcd_mod
+    from locus_tpu.io import synthetic
+
+    # ground-truth map: dense sampling of the same tunnel world
+    world = synthetic.BoxWorld()
+    world.add_shell([-2.0, -2.0, -1.0], [30.0, 2.0, 2.0])
+    pts = []
+    for i in range(12):
+        p, v = synthetic.simulate_scan(
+            world, seq.gt_poses[min(i, len(seq.gt_poses) - 1)],
+            azimuth_steps=512, noise=0.0, seed=9 + i,
+        )
+        w = seq.gt_poses[min(i, len(seq.gt_poses) - 1)]
+        pts.append((p[v] @ w[:3, :3].T) + w[:3, 3])
+    xyz = np.concatenate(pts)
+    path = str(tmp_path / "gt_map.pcd")
+    pcd_mod.write_pcd(path, xyz.astype(np.float32))
+
+    cfg = dataclasses.replace(
+        small_cfg(),
+        b_run_with_gt_point_cloud=True,
+        gt_point_cloud_filename=path,
+        b_add_keyframes_enabled=False,
+    )
+    sess = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0])
+    assert int(np.asarray(sess.state.map.cloud.count())) > 1000
+    poses = sess.run(scan_stream(seq, 6))
+    err = np.linalg.norm(poses[-1][:3, 3] - seq.gt_poses[5][:3, 3])
+    assert err < 0.25, err
+    # pure localization: no keyframes were added
+    assert sess._keyframe_count == 0

@@ -18,7 +18,8 @@ def test_merge_applies_extrinsics():
     b = cloudy([[0, 1, 0]])
     Ta = np.eye(4, dtype=np.float32)
     Tb = np.asarray(se3.make_transform(jnp.eye(3), jnp.asarray([10.0, 0, 0])))
-    out = merger.merge([a, b], [Ta, Tb], alive=jnp.asarray([True, True]))
+    out = merger.merge([a, b], [Ta, Tb], alive=jnp.asarray([True, True]),
+                       cfg=MergerConfig(number_of_velodynes=2))
     xyz = np.asarray(out.xyz)[np.asarray(out.mask)]
     assert xyz.shape[0] == 2
     assert any(np.allclose(p, [10, 1, 0], atol=1e-5) for p in xyz)
@@ -28,7 +29,8 @@ def test_failover_masks_dead_lidar():
     a = cloudy([[1, 0, 0], [2, 0, 0]])
     b = cloudy([[0, 1, 0], [0, 2, 0]])
     eye = np.eye(4, dtype=np.float32)
-    out = merger.merge([a, b], [eye, eye], alive=jnp.asarray([True, False]))
+    out = merger.merge([a, b], [eye, eye], alive=jnp.asarray([True, False]),
+                       cfg=MergerConfig(number_of_velodynes=2))
     xyz = np.asarray(out.xyz)[np.asarray(out.mask)]
     assert xyz.shape[0] == 2
     assert np.all(xyz[:, 1] == 0)  # only lidar a's points survive
@@ -53,6 +55,7 @@ def test_merge_capacity():
     a = cloudy(np.random.default_rng(0).normal(size=(5, 3)))
     b = cloudy(np.random.default_rng(1).normal(size=(5, 3)))
     eye = np.eye(4, dtype=np.float32)
-    out = merger.merge([a, b], [eye, eye], alive=jnp.asarray([True, True]), capacity=12)
+    out = merger.merge([a, b], [eye, eye], alive=jnp.asarray([True, True]), capacity=12,
+                       cfg=MergerConfig(number_of_velodynes=2))
     assert out.capacity == 12
     assert int(out.count()) == 10

@@ -103,5 +103,6 @@ def test_merged_cloud_covers_more_azimuth():
             world, np.asarray(EXTRINSICS[L], np.float64), azimuth_steps=64, seed=L
         )
         clouds.append(PointCloud.from_points(pts, capacity=1200, mask=jnp.asarray(valid)))
-    merged = merger.merge(clouds, EXTRINSICS, jnp.asarray([True] * 3), capacity=4096)
+    merged = merger.merge(clouds, EXTRINSICS, jnp.asarray([True] * 3), capacity=4096,
+                          cfg=MergerConfig(number_of_velodynes=3))
     assert int(merged.count()) > int(clouds[0].count()) * 2
