@@ -47,6 +47,12 @@ class PoseGraphBackend:
     keyframes: List[Keyframe] = field(default_factory=list)
     factors: List[tuple] = field(default_factory=list)  # (i, j, T_ij (4,4), info_scale)
     loops_found: int = 0
+    # O(1)/O(K) bookkeeping for kilometer-scale runs: packed keyframe
+    # positions for vectorized candidate gating, and a pair set for
+    # duplicate-factor lookup (was an O(K) python loop + O(F) scan per
+    # candidate)
+    _positions: Optional[np.ndarray] = None   # (cap, 3) float32
+    _factor_pairs: set = field(default_factory=set)
     # (K,4,4) world-frame pose deltas of the last optimize() —
     # T_new_k @ inv(T_old_k) per keyframe; feed to mapper.reanchor so the
     # owned map follows the corrected trajectory
@@ -57,24 +63,33 @@ class PoseGraphBackend:
         pose = np.asarray(pose, np.float64)
         k = len(self.keyframes)
         self.keyframes.append(Keyframe(k, float(stamp), pose, cloud))
+        if self._positions is None or k >= self._positions.shape[0]:
+            cap = max(256, 0 if self._positions is None else 2 * self._positions.shape[0])
+            grown = np.zeros((cap, 3), np.float32)
+            if self._positions is not None:
+                grown[: self._positions.shape[0]] = self._positions
+            self._positions = grown
+        self._positions[k] = pose[:3, 3]
         if k > 0:
             prev = self.keyframes[k - 1]
             T_ij = np.linalg.inv(prev.pose) @ pose
             self.factors.append((k - 1, k, T_ij, 1.0))
+            self._factor_pairs.add((k - 1, k))
         return k
 
     # -- loop closure -------------------------------------------------------
     def find_loop_candidates(self) -> List[tuple]:
-        """(i, j) pairs: near in space, far in sequence."""
-        out = []
-        if len(self.keyframes) < self.min_index_gap + 1:
-            return out
+        """(i, j) pairs: near in space, far in sequence. One vectorized
+        distance pass over the packed positions — O(K) numpy, no python
+        loop over keyframes."""
+        K = len(self.keyframes)
+        if K < self.min_index_gap + 1:
+            return []
         cur = self.keyframes[-1]
-        for kf in self.keyframes[: -self.min_index_gap]:
-            d = np.linalg.norm(kf.pose[:3, 3] - cur.pose[:3, 3])
-            if d < self.loop_distance:
-                out.append((kf.index, cur.index))
-        return out
+        past = self._positions[: K - self.min_index_gap]
+        d2 = np.sum((past - cur.pose[:3, 3].astype(np.float32)) ** 2, axis=1)
+        hits = np.nonzero(d2 < self.loop_distance * self.loop_distance)[0]
+        return [(int(i), cur.index) for i in hits]
 
     def verify_loop(self, i: int, j: int):
         """GICP-align keyframe j's cloud to keyframe i's cloud; accept on
@@ -93,11 +108,12 @@ class PoseGraphBackend:
     def try_close_loops(self) -> int:
         added = 0
         for i, j in self.find_loop_candidates():
-            if any(fi == i and fj == j for fi, fj, _, _ in self.factors):
+            if (i, j) in self._factor_pairs:
                 continue
             T = self.verify_loop(i, j)
             if T is not None:
                 self.factors.append((i, j, T, 4.0))  # loop factors weighted up
+                self._factor_pairs.add((i, j))
                 self.loops_found += 1
                 added += 1
         return added
@@ -141,6 +157,7 @@ class PoseGraphBackend:
         ).astype(np.float32)
         for k, kf in enumerate(self.keyframes):
             kf.pose = out[k]
+        self._positions[:K] = out[:, :3, 3].astype(np.float32)
         return out
 
     def correction_for_latest(self) -> np.ndarray:

@@ -112,3 +112,53 @@ def test_gicp_on_reference_garage_scans():
     d2_1, _ = neighbors.nearest(moved.xyz, ref.xyz)
     after = float(jnp.mean(jnp.where(moved.mask, jnp.sqrt(d2_1), 0.0)))
     assert after < before
+
+
+def _load_battery_module():
+    import importlib.util
+    import sys
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tools", "real_data_battery.py"
+    )
+    sys.path.insert(0, os.path.dirname(path))
+    spec = importlib.util.spec_from_file_location("real_data_battery", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_garage_registration_perturbation_consistency():
+    """Real-data registration matrix (condensed): perturbed real-scan
+    registrations must recover the baseline query->reference mapping
+    (tools/real_data_battery.py runs the full 36-cell grid)."""
+    import pytest
+
+    if not os.path.exists(
+        "/root/reference/multithreaded_gicp/test/query_82_garage.pcd"
+    ):
+        pytest.skip("reference garage PCDs not available")
+    bat = _load_battery_module()
+    rep = bat.registration_matrix(
+        t_mags=(0.3, 1.0), r_degs=(0.0, 15.0), noises=(0.0, 0.01)
+    )
+    assert rep["baseline"]["converged"]
+    assert rep["all_converged"], rep["cells"]
+    assert rep["max_consistency_err"] < 0.05, rep["max_consistency_err"]
+
+
+def test_garage_real_geometry_odometry_chain():
+    """Full-pipeline odometry through the REAL garage geometry along a
+    known trajectory: ATE must stay within centimeters (real geometry,
+    synthetic motion — the honest statement lives in PARITY.md)."""
+    import pytest
+
+    if not os.path.exists(
+        "/root/reference/multithreaded_gicp/test/reference_82_garage.pcd"
+    ):
+        pytest.skip("reference garage PCDs not available")
+    bat = _load_battery_module()
+    rep = bat.odometry_chain(num_scans=24)
+    assert rep["s2m_accepted"] >= rep["scans"] - 2, rep
+    assert rep["ate_m"] < 0.06, rep
+    assert rep["max_err_m"] < 0.12, rep

@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Real-data battery on the reference's garage scans — the best
+available real-lidar validation in this sandbox (zero egress: the
+nebula-odometry-dataset rosbags of /root/reference/README.md:110-160
+are not reachable; the only real lidar data in the image is the garage
+pair multithreaded_gicp/test/{query,reference}_82_garage.pcd).
+
+Two experiments, both on REAL geometry:
+
+1. Registration matrix (real scan pair, perturbation consistency):
+   query->reference GICP under a grid of injected offsets (up to 1 m /
+   15 deg) and added noise (up to 2 cm). The two scans' true relative
+   pose is unknown, so correctness is measured as CONSISTENCY: aligning
+   the perturbed query must recover the same query->reference mapping
+   as the unperturbed baseline, i.e. || log(T0^-1 . T_est . T_p) || ~ 0.
+
+2. Odometry chain (real geometry, synthetic motion — stated plainly):
+   the 8112-point garage scan is treated as the world; scans are
+   range-limited, subsampled, noise-perturbed views from a known
+   trajectory driven through it. The full pipeline (scan-to-scan +
+   scan-to-submap + map) replays the chain; ATE is against the known
+   trajectory.
+
+Usage:
+  python tools/real_data_battery.py [--platform cpu] [--out report.json]
+"""
+import argparse
+import itertools
+import json
+
+import _pathsetup  # noqa: F401
+
+QUERY = "/root/reference/multithreaded_gicp/test/query_82_garage.pcd"
+REFERENCE = "/root/reference/multithreaded_gicp/test/reference_82_garage.pcd"
+
+
+def load_cloud(path, capacity, noise=0.0, seed=0, k=20):
+    import numpy as np
+
+    from locus_tpu.core.cloud import PointCloud
+    from locus_tpu.io import pcd
+    from locus_tpu.ops import normals as normals_op
+
+    d = pcd.read_pcd(path)
+    xyz = np.stack([np.asarray(d[c], np.float32) for c in ("x", "y", "z")], 1)
+    xyz = xyz[np.isfinite(xyz).all(1)]
+    if noise > 0:
+        xyz = xyz + np.random.default_rng(seed).normal(
+            0, noise, xyz.shape
+        ).astype(np.float32)
+    return normals_op.estimate_normals(
+        PointCloud.from_points(xyz, capacity=capacity), k=k
+    )
+
+
+def registration_matrix(
+    t_mags=(0.1, 0.3, 0.6, 1.0),
+    r_degs=(0.0, 5.0, 15.0),
+    noises=(0.0, 0.005, 0.02),
+    seed=0,
+):
+    import numpy as np
+    import jax.numpy as jnp
+
+    from locus_tpu.config import RegistrationConfig
+    from locus_tpu.geometry import se3
+    from locus_tpu.registration.gicp import gicp_register
+
+    cfg = RegistrationConfig(corr_dist=1.0, iterations=40)
+    ref = load_cloud(REFERENCE, 8192)
+    base = gicp_register(load_cloud(QUERY, 1024), ref, cfg=cfg)
+    T0 = np.asarray(base.transform)
+    rng = np.random.default_rng(seed)
+    cells = []
+    for t_mag, r_deg, noise in itertools.product(t_mags, r_degs, noises):
+        q = load_cloud(QUERY, 1024, noise=noise, seed=17)
+        ax = rng.normal(size=3)
+        ax /= np.linalg.norm(ax)
+        tv = rng.normal(size=3)
+        tv = tv / np.linalg.norm(tv) * t_mag
+        Tp = se3.make_transform(
+            se3.so3_exp(jnp.asarray(ax * np.deg2rad(r_deg), jnp.float32)),
+            jnp.asarray(tv, jnp.float32),
+        )
+        res = gicp_register(q.transform(Tp), ref, cfg=cfg)
+        err = np.asarray(
+            se3.se3_log(
+                jnp.asarray(
+                    np.linalg.inv(T0) @ np.asarray(res.transform) @ np.asarray(Tp),
+                    jnp.float32,
+                )
+            )
+        )
+        cells.append(
+            {
+                "offset_m": t_mag,
+                "rot_deg": r_deg,
+                "noise_m": noise,
+                "converged": bool(res.converged),
+                "consistency_err": float(np.linalg.norm(err)),
+                "ncorr": int(res.num_correspondences),
+            }
+        )
+    return {
+        "baseline": {
+            "converged": bool(base.converged),
+            "fitness": float(base.fitness),
+            "ncorr": int(base.num_correspondences),
+        },
+        "cells": cells,
+        "all_converged": all(c["converged"] for c in cells),
+        "max_consistency_err": max(c["consistency_err"] for c in cells),
+    }
+
+
+def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
+                         keep_frac=0.8, max_range=30.0, seed=3):
+    """Scans of the real garage cloud from a known trajectory (real
+    geometry, synthetic motion)."""
+    import numpy as np
+
+    from locus_tpu.io import pcd
+    from locus_tpu.io.dataset import Sequence
+
+    d = pcd.read_pcd(REFERENCE)
+    world = np.stack([np.asarray(d[c], np.float32) for c in ("x", "y", "z")], 1)
+    world = world[np.isfinite(world).all(1)]
+
+    rng = np.random.default_rng(seed)
+    T = num_scans
+    gt = np.tile(np.eye(4, dtype=np.float64), (T, 1, 1))
+    for i in range(T):
+        yaw = 0.15 * np.sin(i * 0.15)
+        c, s = np.cos(yaw), np.sin(yaw)
+        gt[i, :3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        gt[i, 0, 3] = 1.5 * np.sin(i * 0.1)
+        gt[i, 1, 3] = 2.0 + 0.4 * i
+        gt[i, 2, 3] = 1.0
+
+    P = points_per_scan
+    scans = np.zeros((T, P, 3), np.float32)
+    valid = np.zeros((T, P), bool)
+    for i in range(T):
+        R, t = gt[i, :3, :3], gt[i, :3, 3]
+        loc = (world - t) @ R
+        idx = np.nonzero(np.linalg.norm(loc, axis=1) < max_range)[0]
+        keep = idx[rng.random(idx.size) < keep_frac]
+        pts = loc[keep] + rng.normal(0, noise, (keep.size, 3))
+        n = min(P, pts.shape[0])
+        scans[i, :n] = pts[:n]
+        valid[i, :n] = True
+    return Sequence(
+        scans=scans, scan_valid=valid,
+        stamps=np.arange(T) / 10.0, gt_poses=gt,
+    )
+
+
+def odometry_chain(num_scans=48):
+    import numpy as np
+
+    from locus_tpu.config import (
+        FilterConfig, FusionConfig, LocusConfig, MapperConfig,
+    )
+    from locus_tpu.metrics import ate_rmse
+    from locus_tpu.runner import run_sequence
+
+    seq = make_garage_sequence(num_scans=num_scans)
+    cfg = LocusConfig(
+        scan_capacity=2048,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=1500,
+        filtering=FilterConfig(normals_k=16, body_filter=False),
+        mapper=MapperConfig(
+            map_capacity=32768, keyframe_capacity=2048, map_voxel_leaf=0.15
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    poses, outputs, _ = run_sequence(seq, cfg)
+    gt = seq.gt_poses[: poses.shape[0]]
+    errs = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+    dist = float(
+        np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    )
+    return {
+        "scans": int(poses.shape[0]),
+        "travel_m": dist,
+        "ate_m": float(ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False)),
+        "max_err_m": float(errs.max()),
+        "final_err_m": float(errs[-1]),
+        "s2m_accepted": int(sum(o["scan_to_map_accepted"] for o in outputs)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--scans", type=int, default=48)
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    report = {
+        "data": "reference garage PCD pair (real lidar scans); "
+        "odometry chain = real geometry + synthetic trajectory "
+        "(nebula rosbags unreachable: zero-egress sandbox)",
+        "registration_matrix": registration_matrix(),
+        "odometry_chain": odometry_chain(num_scans=args.scans),
+    }
+    text = json.dumps(report, indent=2)
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,12 @@ def main():
         help="force a jax platform (e.g. cpu); needed because the dev-box "
         "sitecustomize overrides JAX_PLATFORMS via jax.config",
     )
+    ap.add_argument(
+        "--production", action="store_true",
+        help="production shapes: 4096-pt scans, 65k-point map (the "
+        "BASELINE scaling-efficiency measurement shapes)",
+    )
+    ap.add_argument("--azimuth", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -41,13 +47,27 @@ def main():
     from locus_tpu.runner import make_batched_replay, pack_sequence, stack_packed
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    cfg = LocusConfig(
-        scan_capacity=512,
-        raw_scan_capacity=2048,
-        points_to_process_in_callback=400,
-        filtering=FilterConfig(normals_k=8),
-        mapper=MapperConfig(map_capacity=4096, keyframe_capacity=512, map_voxel_leaf=0.1),
-    )
+    if args.production:
+        cfg = LocusConfig(
+            scan_capacity=4096,
+            raw_scan_capacity=32768,
+            points_to_process_in_callback=3000,
+            filtering=FilterConfig(normals_k=20),
+            mapper=MapperConfig(
+                map_capacity=1 << 16, keyframe_capacity=4096,
+                map_voxel_leaf=0.15,
+            ),
+        )
+        azimuth = args.azimuth or 1800
+    else:
+        cfg = LocusConfig(
+            scan_capacity=512,
+            raw_scan_capacity=2048,
+            points_to_process_in_callback=400,
+            filtering=FilterConfig(normals_k=8),
+            mapper=MapperConfig(map_capacity=4096, keyframe_capacity=512, map_voxel_leaf=0.1),
+        )
+        azimuth = args.azimuth or 128
 
     results = {}
     for nd in args.devices:
@@ -56,7 +76,7 @@ def main():
         mesh = mesh_lib.make_mesh(nd, map_parallel=1)
         B = nd * args.seqs_per_device
         seqs = [
-            make_tunnel_sequence(num_scans=args.scans, azimuth_steps=128, seed=s)
+            make_tunnel_sequence(num_scans=args.scans, azimuth_steps=azimuth, seed=s)
             for s in range(B)
         ]
         packed = stack_packed([pack_sequence(s, cfg) for s in seqs])

@@ -229,6 +229,28 @@ def main():
         )
         return jnp.sum(jnp.where(out.mask, out.normals[:, 0], 0.0))
 
+    # NDT variants of both registrars (the alternative registration
+    # method; previously only GICP was profiled)
+    import dataclasses as _dc0
+
+    ndt_ocfg = _dc0.replace(cfg.odometry, registration_method="ndt")
+    ndt_lcfg = _dc0.replace(
+        cfg.localization,
+        registration=_dc0.replace(
+            cfg.localization.registration, registration_method="ndt"
+        ),
+    )
+
+    def f_s2s_ndt(jit_eps, odom_state, scan_, prior):
+        pc = PointCloud(scan_.xyz + jit_eps, scan_.normals, scan_.intensity, scan_.mask)
+        r = odometry.update(odom_state, pc, prior=prior, cfg=ndt_ocfg)
+        return r.state.integrated[0, 3]
+
+    def f_s2m_ndt(jit_eps, loc_state, scan_, nbs):
+        pc = PointCloud(scan_.xyz + jit_eps, scan_.normals, scan_.intensity, scan_.mask)
+        meas = localization.measurement_update(loc_state, pc, nbs, cfg=ndt_lcfg)
+        return meas.state.integrated[0, 3] + meas.state.covariance[0, 0]
+
     results = {
         "preprocess": timed(f_pre, raw, state.voxel_leaf),
         "pre_crop_voxel": timed(f_voxel, raw, state.voxel_leaf),
@@ -236,6 +258,8 @@ def main():
         "s2s_gicp": timed(f_s2s, state.odom, scan, sel.prior),
         "map_ann": timed(f_ann, state.map, fixed),
         "s2m_gicp": timed(f_s2m, loc0, scan, neighbors_sensor),
+        "s2s_ndt": timed(f_s2s_ndt, state.odom, scan, sel.prior),
+        "s2m_ndt": timed(f_s2m_ndt, loc0, scan, neighbors_sensor),
         "kf_insert": timed(f_kf_insert, state.map, world_scan),
         "kf_writes_only": timed(f_kf_writes, state.map, world_scan),
         "fusion_ingest": timed(f_fusion, state.fuse),
