@@ -162,3 +162,49 @@ def test_garage_real_geometry_odometry_chain():
     assert rep["s2m_accepted"] >= rep["scans"] - 2, rep
     assert rep["ate_m"] < 0.06, rep
     assert rep["max_err_m"] < 0.12, rep
+
+
+def test_garage_ndt_registration_consistency():
+    """NDT (IRLS optimizer, the TPU default) on the REAL garage pair:
+    converged baseline, and a 0.3 m / 4.6 deg perturbation recovers the
+    same alignment to millimeters. (The newton line-search mode
+    converges unperturbed but stalls from 0.3 m on this sparse real
+    pair — documented limitation; the production registrar is GICP.)"""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    if not os.path.exists(
+        "/root/reference/multithreaded_gicp/test/query_82_garage.pcd"
+    ):
+        pytest.skip("reference garage PCDs not available")
+    from locus_tpu.config import RegistrationConfig
+    from locus_tpu.geometry import se3
+    from locus_tpu.registration.ndt import ndt_register
+
+    bat = _load_battery_module()
+    ref = bat.load_cloud(bat.REFERENCE, 8192)
+    q = bat.load_cloud(bat.QUERY, 1024)
+    cfg = RegistrationConfig(
+        registration_method="ndt", corr_dist=1.0, iterations=40,
+        ndt_resolution=2.0, ndt_optimizer="irls",
+    )
+    res = ndt_register(q, ref, cfg=cfg)
+    assert bool(res.converged)
+    assert int(res.num_correspondences) > 700
+    T0 = np.asarray(res.transform)
+    Tp = se3.make_transform(
+        se3.so3_exp(jnp.asarray([0.0, 0.0, 0.08])),
+        jnp.asarray([0.25, -0.15, 0.05]),
+    )
+    res2 = ndt_register(q.transform(Tp), ref, cfg=cfg)
+    assert bool(res2.converged)
+    err = np.asarray(
+        se3.se3_log(
+            jnp.asarray(
+                np.linalg.inv(T0) @ np.asarray(res2.transform) @ np.asarray(Tp),
+                jnp.float32,
+            )
+        )
+    )
+    assert np.linalg.norm(err) < 0.02, np.linalg.norm(err)
