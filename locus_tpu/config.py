@@ -214,6 +214,11 @@ class LocusConfig:
     b_enable_computation_time_profiling: bool = True
     b_run_with_gt_point_cloud: bool = False
     gt_point_cloud_filename: Optional[str] = None
+    # Fiducial-calibration initial pose (PointCloudOdometry.cc:50-70 /
+    # PointCloudLocalization.cc:50-63): when set, init_state_from_config
+    # starts the integrated estimates here instead of identity.
+    fiducial_position: Optional[tuple] = None          # (x, y, z)
+    fiducial_orientation_wxyz: Optional[tuple] = None  # (w, x, y, z)
     map_publishment_meters: int = 1
     statistics_time_window: float = 5.0
 

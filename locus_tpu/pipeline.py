@@ -470,10 +470,18 @@ def init_with_gt_map(
 def init_state_from_config(
     cfg: LocusConfig, initial_pose: Optional[jnp.ndarray] = None
 ) -> LocusState:
-    """Config-driven init (the reference's Initialize flow): when
+    """Config-driven init (the reference's Initialize flow): fiducial
+    initial pose when configured (PointCloudOdometry.cc:50-70), and when
     b_run_with_gt_point_cloud is set, bootstrap the map from
     gt_point_cloud_filename (InitWithGTPointCloud, Locus.cc:745-758) —
     pair with b_add_keyframes_enabled=False for pure localization."""
+    if initial_pose is None and cfg.fiducial_position is not None:
+        q = jnp.asarray(
+            cfg.fiducial_orientation_wxyz or (1.0, 0.0, 0.0, 0.0), jnp.float32
+        )
+        initial_pose = se3.make_transform(
+            se3.quat_to_matrix(q), jnp.asarray(cfg.fiducial_position, jnp.float32)
+        )
     if cfg.b_run_with_gt_point_cloud:
         if not cfg.gt_point_cloud_filename:
             raise ValueError(

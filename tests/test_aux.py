@@ -210,3 +210,26 @@ def test_no_dead_config_fields():
         f for f in fields if not re.search(rf"\b{re.escape(f)}\b", blob)
     )
     assert not missing, f"config fields never read outside config.py: {missing}"
+
+
+def test_fiducial_initial_pose_from_config():
+    """fiducial_calibration init (PointCloudOdometry.cc:50-70): the
+    configured pose seeds odometry/localization integrated estimates."""
+    import numpy as np
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import LocusConfig
+
+    cfg = LocusConfig(
+        scan_capacity=256, raw_scan_capacity=512,
+        fiducial_position=(1.0, -2.0, 0.5),
+        fiducial_orientation_wxyz=(np.cos(0.2), 0.0, 0.0, np.sin(0.2)),
+    )
+    st = pipeline.init_state_from_config(cfg)
+    pose = np.asarray(st.loc.integrated)
+    np.testing.assert_allclose(pose[:3, 3], [1.0, -2.0, 0.5], atol=1e-6)
+    yaw = np.arctan2(pose[1, 0], pose[0, 0])
+    np.testing.assert_allclose(yaw, 0.4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(st.odom.integrated), pose, atol=1e-6
+    )
