@@ -92,6 +92,37 @@ def main():
     est = poses[:, :3, 3]
     ate = float(np.sqrt(np.mean(np.sum((est - gt) ** 2, axis=1))))
 
+    # real-geometry ATE: replay a chain of views of the REAL garage scan
+    # (reference PCD) with the same compiled shapes — real geometry,
+    # synthetic trajectory (see PARITY.md round-2 / REALDATA_r02.json)
+    ate_real = None
+    try:
+        import importlib.util
+        import os
+
+        tools_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        sys.path.insert(0, tools_dir)
+        spec = importlib.util.spec_from_file_location(
+            "real_data_battery", os.path.join(tools_dir, "real_data_battery.py")
+        )
+        bat = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bat)
+        if os.path.exists(bat.REFERENCE):
+            gseq = bat.make_garage_sequence(num_scans=24)
+            gpacked = pack_sequence(gseq, cfg, max_scans=24)
+            gst = pipeline.init_state(
+                cfg, initial_pose=jnp.asarray(gseq.gt_poses[0], jnp.float32)
+            )
+            gst = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), gst)
+            _, (gposes, _, _) = replay(gst, gpacked)
+            gposes = np.asarray(gposes)
+            ggt = gseq.gt_poses[:24, :3, 3]
+            ate_real = float(
+                np.sqrt(np.mean(np.sum((gposes[:, :3, 3] - ggt) ** 2, axis=1)))
+            )
+    except Exception:
+        pass  # bench headline must never die on the side-measurement
+
     result = {
         "metric": "scans_per_sec_per_chip",
         "value": round(best, 2),
@@ -103,6 +134,8 @@ def main():
         "map_capacity": cfg.mapper.map_capacity,
         "scan_capacity": cfg.scan_capacity,
     }
+    if ate_real is not None:
+        result["ate_real_geom_m"] = round(ate_real, 4)
     print(json.dumps(result))
 
 
