@@ -35,19 +35,69 @@ PRIOR_ODOM = 3
 
 
 class ImuBuffer(NamedTuple):
-    stamps: jnp.ndarray   # (B,) float64-ish seconds (float32 ok for relative)
-    quats: jnp.ndarray    # (B,4) wxyz orientation
-    valid: jnp.ndarray    # (B,) bool
+    """Packed ring buffer: ONE (B,5) array holds [stamp, qw,qx,qy,qz]
+    per row, so an insert is a single scatter (separate stamp/payload/
+    valid arrays cost 3 serialized TPU scatters per push — measured as
+    the second-largest per-scan cost in the replay). A slot is valid iff
+    its stamp is finite; empty slots carry -inf."""
+
+    data: jnp.ndarray     # (B,5)
     ptr: jnp.ndarray      # int32 ring pointer
     last_reception: jnp.ndarray  # float32 wall stamp of last insert
 
+    @property
+    def stamps(self) -> jnp.ndarray:
+        return self.data[:, 0]
+
+    @property
+    def quats(self) -> jnp.ndarray:
+        return self.data[:, 1:5]
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.isfinite(self.data[:, 0])
+
 
 class OdomBuffer(NamedTuple):
-    stamps: jnp.ndarray   # (B,)
-    poses: jnp.ndarray    # (B,4,4)
-    valid: jnp.ndarray    # (B,) bool
+    """Packed ring buffer: (B,13) rows [stamp, R.flatten(9), t(3)]."""
+
+    data: jnp.ndarray     # (B,13)
     ptr: jnp.ndarray
     last_reception: jnp.ndarray
+
+    @property
+    def stamps(self) -> jnp.ndarray:
+        return self.data[:, 0]
+
+    @property
+    def poses(self) -> jnp.ndarray:
+        B = self.data.shape[0]
+        R = self.data[:, 1:10].reshape(B, 3, 3)
+        t = self.data[:, 10:13]
+        bottom = jnp.tile(
+            jnp.asarray([[0.0, 0.0, 0.0, 1.0]], self.data.dtype), (B, 1, 1)
+        )
+        top = jnp.concatenate([R, t[:, :, None]], axis=2)
+        return jnp.concatenate([top, bottom], axis=1)
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return jnp.isfinite(self.data[:, 0])
+
+
+def _pack_pose_rows(stamps: jnp.ndarray, poses: jnp.ndarray) -> jnp.ndarray:
+    """(K,), (K,4,4) -> (K,13) packed rows."""
+    K = poses.shape[0]
+    return jnp.concatenate(
+        [stamps[:, None], poses[:, :3, :3].reshape(K, 9), poses[:, :3, 3]],
+        axis=1,
+    )
+
+
+def _unpack_pose_row(row: jnp.ndarray) -> jnp.ndarray:
+    """(13,) packed row -> (4,4) pose (single-slot read; avoids building
+    the whole (B,4,4) poses view for one gather)."""
+    return se3.make_transform(row[1:10].reshape(3, 3), row[10:13])
 
 
 class FusionState(NamedTuple):
@@ -69,17 +119,24 @@ class PriorSelection(NamedTuple):
 
 def init_state(cfg: FusionConfig) -> FusionState:
     bi, bo = cfg.imu_buffer_size, cfg.odometry_buffer_size
+    imu_rows = jnp.concatenate(
+        [
+            jnp.full((bi, 1), -jnp.inf, jnp.float32),
+            jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (bi, 1)),
+        ],
+        axis=1,
+    )
     imu = ImuBuffer(
-        stamps=jnp.full((bi,), -jnp.inf, jnp.float32),
-        quats=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (bi, 1)),
-        valid=jnp.zeros((bi,), bool),
+        data=imu_rows,
         ptr=jnp.asarray(0, jnp.int32),
         last_reception=jnp.asarray(-jnp.inf, jnp.float32),
     )
+    odom_rows = _pack_pose_rows(
+        jnp.full((bo,), -jnp.inf, jnp.float32),
+        jnp.tile(jnp.eye(4, dtype=jnp.float32), (bo, 1, 1)),
+    )
     odom = OdomBuffer(
-        stamps=jnp.full((bo,), -jnp.inf, jnp.float32),
-        poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (bo, 1, 1)),
-        valid=jnp.zeros((bo,), bool),
+        data=odom_rows,
         ptr=jnp.asarray(0, jnp.int32),
         last_reception=jnp.asarray(-jnp.inf, jnp.float32),
     )
@@ -105,12 +162,11 @@ def push_imu(
     quat = jnp.asarray(quat_wxyz, jnp.float32)
     ok = ~jnp.any(jnp.isnan(quat))
     b = state.imu
-    i = b.ptr % b.stamps.shape[0]
+    i = b.ptr % b.data.shape[0]
     wall = stamp if wall_time is None else wall_time
+    row = jnp.concatenate([jnp.asarray(stamp, jnp.float32)[None], quat])
     nb = ImuBuffer(
-        stamps=jnp.where(ok, b.stamps.at[i].set(stamp), b.stamps),
-        quats=jnp.where(ok, b.quats.at[i].set(quat), b.quats),
-        valid=jnp.where(ok, b.valid.at[i].set(True), b.valid),
+        data=jnp.where(ok, b.data.at[i].set(row), b.data),
         ptr=jnp.where(ok, b.ptr + 1, b.ptr),
         last_reception=jnp.where(ok, jnp.asarray(wall, jnp.float32), b.last_reception),
     )
@@ -122,12 +178,13 @@ def push_odom(state: FusionState, stamp, pose_4x4, wall_time=None) -> FusionStat
     pose = jnp.asarray(pose_4x4, jnp.float32)
     ok = ~jnp.any(jnp.isnan(pose))
     b = state.odom
-    i = b.ptr % b.stamps.shape[0]
+    i = b.ptr % b.data.shape[0]
     wall = stamp if wall_time is None else wall_time
+    row = _pack_pose_rows(
+        jnp.asarray(stamp, jnp.float32)[None], pose[None]
+    )[0]
     nb = OdomBuffer(
-        stamps=jnp.where(ok, b.stamps.at[i].set(stamp), b.stamps),
-        poses=jnp.where(ok, b.poses.at[i].set(pose), b.poses),
-        valid=jnp.where(ok, b.valid.at[i].set(True), b.valid),
+        data=jnp.where(ok, b.data.at[i].set(row), b.data),
         ptr=jnp.where(ok, b.ptr + 1, b.ptr),
         last_reception=jnp.where(ok, jnp.asarray(wall, jnp.float32), b.last_reception),
     )
@@ -144,19 +201,18 @@ def _ring_write_indices(ptr, ok, size):
 
 def push_imu_batch(state: FusionState, stamps, quats) -> FusionState:
     """Vectorized ingest of a (K,) stamp + (K,4) quat window with -inf
-    stamps as padding (one scatter, no sequential scan — the host feeds
+    stamps as padding: ONE scatter of packed rows (the host feeds
     per-scan sensor windows)."""
     stamps = jnp.asarray(stamps, jnp.float32)
     quats = jnp.asarray(quats, jnp.float32)
     ok = jnp.isfinite(stamps) & ~jnp.any(jnp.isnan(quats), axis=1)
     b = state.imu
-    size = b.stamps.shape[0]
+    size = b.data.shape[0]
     write_idx, new_ptr = _ring_write_indices(b.ptr, ok, size)
     latest = jnp.max(jnp.where(ok, stamps, -jnp.inf))
+    rows = jnp.concatenate([stamps[:, None], quats], axis=1)
     nb = ImuBuffer(
-        stamps=b.stamps.at[write_idx].set(stamps, mode="drop"),
-        quats=b.quats.at[write_idx].set(quats, mode="drop"),
-        valid=b.valid.at[write_idx].set(True, mode="drop"),
+        data=b.data.at[write_idx].set(rows, mode="drop"),
         ptr=new_ptr,
         last_reception=jnp.maximum(b.last_reception, latest),
     )
@@ -168,13 +224,13 @@ def push_odom_batch(state: FusionState, stamps, poses) -> FusionState:
     poses = jnp.asarray(poses, jnp.float32)
     ok = jnp.isfinite(stamps) & ~jnp.any(jnp.isnan(poses), axis=(1, 2))
     b = state.odom
-    size = b.stamps.shape[0]
+    size = b.data.shape[0]
     write_idx, new_ptr = _ring_write_indices(b.ptr, ok, size)
     latest = jnp.max(jnp.where(ok, stamps, -jnp.inf))
     nb = OdomBuffer(
-        stamps=b.stamps.at[write_idx].set(stamps, mode="drop"),
-        poses=b.poses.at[write_idx].set(poses, mode="drop"),
-        valid=b.valid.at[write_idx].set(True, mode="drop"),
+        data=b.data.at[write_idx].set(
+            _pack_pose_rows(stamps, poses), mode="drop"
+        ),
         ptr=new_ptr,
         last_reception=jnp.maximum(b.last_reception, latest),
     )
@@ -222,7 +278,7 @@ def odom_pose_at(buf: OdomBuffer, t) -> tuple[jnp.ndarray, jnp.ndarray]:
     t0, t1 = stamps[i0], stamps[i1]
     alpha = jnp.where(t1 > t0, (t - t0) / jnp.maximum(t1 - t0, 1e-9), 0.0)
     alpha = jnp.clip(alpha, 0.0, 1.0)
-    P0, P1 = buf.poses[i0], buf.poses[i1]
+    P0, P1 = _unpack_pose_row(buf.data[i0]), _unpack_pose_row(buf.data[i1])
     q0 = se3.matrix_to_quat(se3.rotation(P0))
     q1 = se3.matrix_to_quat(se3.rotation(P1))
     q = se3.quat_slerp(q0, q1, alpha)
@@ -268,7 +324,7 @@ def integrate_sensors(
     oi, o_found = _nearest_in_buffer(
         state.odom.stamps, state.odom.valid, stamp, cfg.max_buffer_staleness
     )
-    odom_pose = state.odom.poses[oi]
+    odom_pose = _unpack_pose_row(state.odom.data[oi])
     if cfg.b_integrate_interpolated_odom and prev_stamp is not None:
         odom_delta, interp_ok = integrate_interpolated_odom(
             state, prev_stamp, stamp
@@ -282,7 +338,7 @@ def integrate_sensors(
     ii, i_found = _nearest_in_buffer(
         state.imu.stamps, state.imu.valid, stamp, cfg.max_buffer_staleness
     )
-    imu_quat = state.imu.quats[ii]
+    imu_quat = state.imu.data[ii, 1:5]
     dq = se3.quat_multiply(se3.quat_conjugate(state.imu_quat_prev), imu_quat)
     if cfg.b_convert_imu_to_base_link_frame:
         # Conjugate the IMU-frame delta into the base frame:

@@ -41,19 +41,68 @@ from locus_tpu.geometry import se3
 from locus_tpu.ops import neighbors
 from locus_tpu.registration.gicp import (
     GICPResult,
-    inv3x3,
     _gauss_newton_step_comps,
+    _inv_sym3,
     _scaled_delta,
-    _sym3_from_mats,
     _sym3_vec,
 )
 from locus_tpu.registration.registry import register_method
 
 
+# Voxel-key packing for the DIRECT lookup: coords clipped to
+# [-_KEY_B, _KEY_B-1] pack into one sortable int32. Scenes beyond
+# resolution*_KEY_B meters from the origin alias at the clip boundary
+# (the reference's DIRECT modes have an analogous bounded index).
+_KEY_B = 512
+_KEY_S = 1024
+_KEY_PAD = jnp.iinfo(jnp.int32).max
+
+
+def _encode_keys(ijk: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.clip(ijk, -_KEY_B, _KEY_B - 1)
+    return ((c[..., 0] + _KEY_B) * _KEY_S + (c[..., 1] + _KEY_B)) * _KEY_S + (
+        c[..., 2] + _KEY_B
+    )
+
+
+def _hash_slot(keys: jnp.ndarray, table_size: int) -> jnp.ndarray:
+    """Fibonacci-style multiplicative hash of packed keys into the
+    direct-address table. TPU note: a searchsorted lookup costs ~12
+    serialized gather rounds (~3.3 ms/iteration at 4096x7 queries); one
+    hashed gather is ~10x cheaper."""
+    h = keys.astype(jnp.uint32) * jnp.uint32(2654435761)
+    return ((h >> jnp.uint32(15)) % jnp.uint32(table_size)).astype(jnp.int32)
+
+
 class NDTTargets(NamedTuple):
     means: jnp.ndarray      # (V,3) voxel means (PAD_COORD when invalid)
-    icovs: jnp.ndarray      # (V,3,3) inverse covariances
+    icov6: jnp.ndarray      # (V,6) inverse-covariance sym components
+    # (m00,m01,m02,m11,m12,m22) — (V,3,3) layouts tile terribly on TPU
+    # (minor dims pad 3->8 x 3->128); six flat lanes keep the whole NDT
+    # chain on dense (V,) layouts (see gicp.py component-form note)
     valid: jnp.ndarray      # (V,) bool — occupied with >= min_points
+    slot_keys: jnp.ndarray  # (H,) int32 direct-address table: packed
+    # voxel key per hash slot (empty = INT32_MAX)
+    slot_seg: jnp.ndarray   # (H,) int32 segment index per hash slot —
+    # the DIRECT7 neighborhood lookup is ONE hashed gather per
+    # candidate voxel instead of an (N,V) kNN or a binary search.
+    # Hash collisions drop the losing voxel from lookup (it keeps its
+    # Gaussian; only unreachable) — at load factor <= 25% this is rare
+    # and costs one component, matching the reference's approximate
+    # DIRECT neighborhood spirit
+
+    @property
+    def icovs(self) -> jnp.ndarray:
+        """(V,3,3) dense view (tests/debug; kernels use icov6)."""
+        a, b, c, d, e, f = (self.icov6[:, i] for i in range(6))
+        return jnp.stack(
+            [
+                jnp.stack([a, b, c], axis=-1),
+                jnp.stack([b, d, e], axis=-1),
+                jnp.stack([c, e, f], axis=-1),
+            ],
+            axis=-2,
+        )
 
 
 def build_ndt_targets(
@@ -61,42 +110,72 @@ def build_ndt_targets(
     resolution: float,
     min_points_per_voxel: int = 6,
 ) -> NDTTargets:
-    """Per-voxel Gaussian statistics (VoxelGridCovariance equivalent)."""
-    n = target.capacity
-    from locus_tpu.ops.voxel import voxel_keys
+    """Per-voxel Gaussian statistics (VoxelGridCovariance equivalent).
 
-    ijk = voxel_keys(target.xyz, target.mask, resolution)
-    order = jnp.lexsort((ijk[:, 2], ijk[:, 1], ijk[:, 0]))
-    ijk_s = ijk[order]
+    One wide (N,10) segment-sum carries count, first and second moments
+    together (the fused-payload trick from ops/voxel.py); covariance,
+    ridge flooring, and the adjugate inverse are all component-form —
+    no (N,3,3) arrays anywhere."""
+    n = target.capacity
+    # one packed int32 voxel key per point (pads -> INT32_MAX, sorting
+    # last); a single argsort on it replaces the 3-key lexsort AND
+    # doubles as the DIRECT-lookup key table
+    ijk_raw = jnp.floor(target.xyz / resolution).astype(jnp.int32)
+    enc_all = jnp.where(target.mask, _encode_keys(ijk_raw), _KEY_PAD)
+    order = jnp.argsort(enc_all)
+    enc_s = enc_all[order]
     xyz_s = jnp.where(target.mask[order][:, None], target.xyz[order], 0.0)
     mask_s = target.mask[order]
 
-    is_new = jnp.any(ijk_s != jnp.roll(ijk_s, 1, axis=0), axis=1)
+    is_new = enc_s != jnp.roll(enc_s, 1)
     is_new = is_new.at[0].set(True)
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
 
     w = mask_s.astype(jnp.float32)
-    counts = jax.ops.segment_sum(w, seg, num_segments=n)
-    sums = jax.ops.segment_sum(xyz_s * w[:, None], seg, num_segments=n)
-    outer = jnp.einsum("ni,nj->nij", xyz_s, xyz_s) * w[:, None, None]
-    sq_sums = jax.ops.segment_sum(outer, seg, num_segments=n)
+    x, y, z = xyz_s[:, 0], xyz_s[:, 1], xyz_s[:, 2]
+    payload = jnp.stack(
+        [w, w * x, w * y, w * z,
+         w * x * x, w * x * y, w * x * z,
+         w * y * y, w * y * z, w * z * z],
+        axis=1,
+    )
+    acc = jax.ops.segment_sum(payload, seg, num_segments=n)   # (V,10)
 
+    counts = acc[:, 0]
     denom = jnp.maximum(counts, 1.0)
-    mu = sums / denom[:, None]
-    cov = sq_sums / denom[:, None, None] - jnp.einsum("ni,nj->nij", mu, mu)
+    mx, my, mz = acc[:, 1] / denom, acc[:, 2] / denom, acc[:, 3] / denom
+    c00 = acc[:, 4] / denom - mx * mx
+    c01 = acc[:, 5] / denom - mx * my
+    c02 = acc[:, 6] / denom - mx * mz
+    c11 = acc[:, 7] / denom - my * my
+    c12 = acc[:, 8] / denom - my * mz
+    c22 = acc[:, 9] / denom - mz * mz
 
     # Eigenvalue flooring (reference floors small eigenvalues to
     # lambda_max/100); ridge regularization achieves the same bound on
-    # conditioning in closed form.
-    tr = cov[:, 0, 0] + cov[:, 1, 1] + cov[:, 2, 2]
-    lam_max_ub = tr  # trace upper-bounds lambda_max
-    ridge = jnp.maximum(lam_max_ub / 100.0, 1e-6)
-    cov_reg = cov + ridge[:, None, None] * jnp.eye(3, dtype=cov.dtype)
-    icov = inv3x3(cov_reg, ridge=0.0)
-
+    # conditioning in closed form. trace upper-bounds lambda_max.
+    ridge = jnp.maximum((c00 + c11 + c22) / 100.0, 1e-6)
+    icov = _inv_sym3(
+        (c00 + ridge, c01, c02, c11 + ridge, c12, c22 + ridge), ridge=0.0
+    )
     valid = counts >= float(min_points_per_voxel)
-    means = jnp.where(valid[:, None], mu, PAD_COORD)
-    return NDTTargets(means=means, icovs=icov, valid=valid)
+    means = jnp.where(
+        valid[:, None], jnp.stack([mx, my, mz], axis=1), PAD_COORD
+    )
+    # direct-address table: scatter each segment's packed key + id into
+    # its hash slot (one write per FIRST row of a segment)
+    H = 4 * n
+    write = is_new & mask_s
+    slot = _hash_slot(enc_s, H)
+    widx = jnp.where(write, slot, H)
+    slot_keys = jnp.full((H,), _KEY_PAD, jnp.int32).at[widx].set(
+        enc_s, mode="drop"
+    )
+    slot_seg = jnp.zeros((H,), jnp.int32).at[widx].set(seg, mode="drop")
+    return NDTTargets(
+        means=means, icov6=jnp.stack(icov, axis=1), valid=valid,
+        slot_keys=slot_keys, slot_seg=slot_seg,
+    )
 
 
 def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size):
@@ -240,38 +319,52 @@ def ndt_register(
 
     src0 = se3.transform_points(guess, source.xyz)
     src0 = jnp.where(source.mask[:, None], src0, source.xyz)
-    gate2 = (1.5 * res) ** 2
 
     def outer_cond(carry):
         T, it, delta, _, _ = carry
         return (it < cfg.iterations) & (delta >= 1.0)
 
-    # Soft assignment over the K nearest Gaussian components — the
-    # DIRECT7-neighborhood analog; hard 1-NN matching leaves a voxel-
-    # quantization bias that neighborhood averaging cancels.
-    K = 4
+    # DIRECT7 component lookup (the reference's default search mode,
+    # ndt_omp.h:51): each point contributes to its own voxel's Gaussian
+    # and the 6 face neighbors. Looked up by binary search into the
+    # sorted packed voxel keys — O(N·7·log V) gathers instead of the
+    # (N,V) distance matrix + top-k a spatial kNN needs.
+    OFFS = jnp.asarray(
+        [[0, 0, 0], [1, 0, 0], [-1, 0, 0],
+         [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        jnp.int32,
+    )
+    K = 7
     n_src = source.capacity
+
+    def direct7(p):
+        ijk_q = jnp.floor(p / res).astype(jnp.int32)              # (N,3)
+        keyq = _encode_keys(ijk_q[:, None, :] + OFFS[None, :, :]) # (N,7)
+        flat = keyq.reshape(-1)
+        slot = _hash_slot(flat, targets.slot_keys.shape[0])
+        idx = targets.slot_seg[slot]
+        hit = (targets.slot_keys[slot] == flat) & targets.valid[idx]
+        return idx, hit
 
     def outer_body(carry):
         T, it, _, _, _ = carry
         p = se3.transform_points(T, src0)
-        d2, j = neighbors.knn(p, targets.means, k=K)     # (N,K)
-        jf = j.reshape(-1)
+        jf, hit = direct7(p)
         pf = jnp.repeat(p, K, axis=0)                     # (N*K,3)
         maskf = jnp.repeat(source.mask, K)
-        w_gate = (
-            maskf & targets.valid[jf] & (d2.reshape(-1) <= gate2)
-        ).astype(jnp.float32)
+        w_gate = (maskf & hit).astype(jnp.float32)
 
-        mu = targets.means[jf]
-        icov = targets.icovs[jf]
+        # zero-residual placeholder for misses keeps intermediates tame
+        mu = jnp.where(hit[:, None], targets.means[jf], pf)
+        icov6 = targets.icov6[jf]                         # (N*K,6) gather
+        M = tuple(icov6[:, i] for i in range(6))
         r = pf - mu
-        maha = jnp.einsum("ni,nij,nj->n", r, icov, r)
+        Br = _sym3_vec(M, r[:, 0], r[:, 1], r[:, 2])
+        maha = r[:, 0] * Br[0] + r[:, 1] * Br[1] + r[:, 2] * Br[2]
         w_score = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(maha, 50.0))
         w = w_gate * w_score
 
         src0f = jnp.repeat(src0, K, axis=0)
-        M = _sym3_from_mats(icov)
 
         if cfg.ndt_optimizer == "newton":
             # Reference scheme: one Newton direction + line search per
@@ -297,9 +390,13 @@ def ndt_register(
             se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
         )
         delta = _scaled_delta(T, T_new, cfg)
-        gate_1nn = (source.mask & (d2[:, 0] <= gate2)).astype(jnp.float32)
+        # fitness: squared distance to the nearest HIT component per point
+        d2k = jnp.sum(r * r, axis=1).reshape(n_src, K)
+        d2min = jnp.min(jnp.where(hit.reshape(n_src, K), d2k, jnp.inf), axis=1)
+        matched = source.mask & jnp.isfinite(d2min)
+        gate_1nn = matched.astype(jnp.float32)
         nw = jnp.maximum(jnp.sum(gate_1nn), 1.0)
-        fitness = jnp.sum(d2[:, 0] * gate_1nn) / nw
+        fitness = jnp.sum(jnp.where(matched, d2min, 0.0)) / nw
         return (T_new, it + 1, delta, fitness, jnp.sum(gate_1nn).astype(jnp.int32))
 
     init = (

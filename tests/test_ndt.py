@@ -78,7 +78,12 @@ def test_ndt_newton_optimizer_recovers_transform():
         jnp.where(target.mask[:, None], src_xyz, target.xyz),
         target.normals, target.intensity, target.mask,
     )
-    base = RegistrationConfig(iterations=30, corr_dist=1.0, ndt_resolution=0.8)
+    # resolution 1.0 (not 0.8): the cube's walls (side 4.0) fall exactly
+    # on 0.8-voxel boundaries, so DIRECT7 membership flips discretely as
+    # x crosses the boundary and the single-Newton-step mode can settle
+    # on the kink (the reference's DIRECT modes share this discreteness;
+    # the IRLS mode re-weights through it)
+    base = RegistrationConfig(iterations=30, corr_dist=1.0, ndt_resolution=1.0)
     cfg = dataclasses.replace(base, ndt_optimizer="newton")
     res = ndt_register(source, target, cfg=cfg)
     got = se3.translation(res.transform)
