@@ -63,9 +63,21 @@ def init_map(cfg: MapperConfig) -> MapState:
 
 def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
     """1-NN into the map store, bounded to `radius` (hits beyond it come
-    back as d2=inf — every consumer gates far hits anyway): bbox-pruned
-    cached-operand Pallas path on TPU, plain XLA on CPU."""
-    from locus_tpu.ops.dispatch import pallas_allowed
+    back as d2=inf — every consumer gates far hits anyway): explicit
+    sharded collectives under an active map-mesh context, else the
+    bbox-pruned cached-operand Pallas path on TPU, plain XLA on CPU."""
+    from locus_tpu.ops.dispatch import active_map_mesh, pallas_allowed
+
+    mesh_ax = active_map_mesh()
+    if mesh_ax is not None:
+        # map point axis sharded over the mesh "map" axis: shard-local
+        # 1-NN + all_gather merge (parallel/sharded_map.py), radius
+        # bound applied to the merged result
+        from locus_tpu.parallel.sharded_map import sharded_nearest
+
+        mesh, axis = mesh_ax
+        d2, idx = sharded_nearest(mesh, query_xyz, state.cloud.xyz, axis=axis)
+        return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
 
     if pallas_allowed() and query_xyz.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas_bounded_pre

@@ -34,3 +34,27 @@ def no_pallas():
         yield
     finally:
         _disable_pallas.reset(token)
+
+
+# Explicit-collective sharded-map context: when a (mesh, axis) pair is
+# active, the map 1-NN routes through parallel.sharded_map (shard-local
+# top-k + all_gather over ICI) instead of the Pallas/XLA single-device
+# kernels. Set by runner.make_scan_replay(mesh=...); single-sequence
+# traces only (shard_map under the batched vmap is not supported here).
+_map_mesh = contextvars.ContextVar("locus_map_mesh", default=None)
+
+
+def active_map_mesh():
+    """The (Mesh, axis_name) of an active sharded-map context, or None."""
+    return _map_mesh.get()
+
+
+@contextlib.contextmanager
+def map_mesh(mesh, axis: str = "map"):
+    """Trace the enclosed computation with explicit sharded-map
+    collectives for map queries."""
+    token = _map_mesh.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _map_mesh.reset(token)

@@ -54,6 +54,20 @@ def shard_batched_state(mesh: Mesh, state, map_capacity: int):
     return jax.tree_util.tree_map(jax.device_put, state, shardings)
 
 
+def single_state_shardings(mesh: Mesh, state, map_capacity: int):
+    """Shardings for an UNBATCHED LocusState: the map point axis
+    (leading dim == map_capacity) over "map", everything else
+    replicated — the explicit-collective single-sequence deployment
+    (runner.make_scan_replay(mesh=...))."""
+
+    def spec(x):
+        if x.ndim >= 1 and x.shape[0] == map_capacity:
+            return NamedSharding(mesh, P("map"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec, state)
+
+
 def batch_shardings(mesh: Mesh, tree):
     """Plain data-parallel shardings (batch axis only) for scan inputs."""
     return jax.tree_util.tree_map(

@@ -95,11 +95,18 @@ def pack_sequence(seq: Sequence, cfg: LocusConfig, max_scans: Optional[int] = No
     )
 
 
-def make_scan_replay(cfg: LocusConfig):
+def make_scan_replay(cfg: LocusConfig, mesh=None):
     """Device-side replay: one compiled program runs the whole sequence
     via lax.scan (amortizes host dispatch — the bench path). Returns
     replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
-    map_sizes (T,)))."""
+    map_sizes (T,))).
+
+    `mesh`: a ("data","map") Mesh to run ONE sequence with its map point
+    store sharded over the "map" axis using EXPLICIT collectives
+    (parallel/sharded_map.py shard-local top-k + all_gather) — the
+    big-map spatial-parallel deployment (one robot, map larger than one
+    chip). Shard the map-axis state arrays with
+    parallel.mesh.single_state_shardings first."""
 
     def body(state, inp):
         fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
@@ -115,8 +122,19 @@ def make_scan_replay(cfg: LocusConfig):
         return state, (out.pose, out.condition_number, out.map_size)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def replay(state, packed):
+    def _replay(state, packed):
         return jax.lax.scan(body, state, packed)
+
+    if mesh is None:
+        return _replay
+
+    from locus_tpu.ops.dispatch import map_mesh, no_pallas
+
+    def replay(state, packed):
+        # pallas kernels would force the map shards to gather; the
+        # sharded path uses the XLA kernels + explicit collectives
+        with map_mesh(mesh), no_pallas():
+            return _replay(state, packed)
 
     return replay
 
