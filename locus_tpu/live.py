@@ -287,3 +287,140 @@ class LiveSession:
             pose, _ = self.process_scan(stamp, xyz, valid)
             poses.append(pose)
         return np.stack(poses) if poses else np.zeros((0, 4, 4))
+
+
+@dataclass
+class MultiRobotSession:
+    """B independent robots served by ONE chip: the reference runs one
+    namespaced LOCUS instance per robot (locus.launch:24, 13 tmuxp
+    dataset configs); here the robot axis is the data-parallel batch of
+    a single vmapped step (SURVEY §2.2 multi-robot row). Each robot has
+    its own full LocusState (pose, map, buffers); one device program
+    advances all of them per tick.
+
+    All robots share one config (the reference's per-robot profiles
+    differ only in constants that are batchable state here; mixed
+    configs need separate sessions)."""
+
+    cfg: LocusConfig
+    num_robots: int = 2
+    initial_poses: Optional[np.ndarray] = None   # (B,4,4)
+    imu_window: int = 16
+    odom_window: int = 4
+
+    def __post_init__(self):
+        import jax.numpy as jnp
+
+        from locus_tpu import fusion as fusion_mod
+        from locus_tpu.core.cloud import PAD_COORD as _PAD
+        from locus_tpu.core.cloud import PointCloud
+
+        B = self.num_robots
+        cfg = self.cfg
+
+        def batched_step(states, xyz, mask, stamps, imu_s, imu_q, odo_s, odo_p, seq):
+            def one(state, xyz1, mask1, stamp1, is1, iq1, os1, op1, s1):
+                fuse = fusion_mod.push_imu_batch(state.fuse, is1, iq1)
+                fuse = fusion_mod.push_odom_batch(fuse, os1, op1)
+                state = state._replace(fuse=fuse)
+                raw = PointCloud(
+                    jnp.where(mask1[:, None], xyz1, _PAD),
+                    jnp.zeros_like(xyz1),
+                    jnp.zeros(xyz1.shape[0], jnp.float32),
+                    mask1,
+                )
+                return pipeline.step(state, raw, stamp1, cfg, seq=s1)
+
+            return jax.vmap(one)(
+                states, xyz, mask, stamps, imu_s, imu_q, odo_s, odo_p, seq
+            )
+
+        self._step = jax.jit(batched_step, donate_argnums=(0,))
+
+        states = []
+        for b in range(B):
+            pose = (
+                None
+                if self.initial_poses is None
+                else jnp.asarray(self.initial_poses[b], jnp.float32)
+            )
+            st = pipeline.init_state_from_config(cfg, pose)
+            states.append(
+                jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+            )
+        self.states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=0), *states
+        )
+        self._imu_queues = [[] for _ in range(B)]
+        self._odom_queues = [[] for _ in range(B)]
+        self._scan_count = 0
+
+    def feed_imu(self, robot: int, stamp: float, quat_wxyz):
+        self._imu_queues[robot].append(
+            (float(stamp), np.asarray(quat_wxyz, np.float32))
+        )
+
+    def feed_odom(self, robot: int, stamp: float, pose_4x4):
+        self._odom_queues[robot].append(
+            (float(stamp), np.asarray(pose_4x4, np.float32))
+        )
+
+    def _drain(self, queue, n, payload_shape, eye=False):
+        take = queue[-n:]
+        del queue[: len(queue)]
+        pad = n - len(take)
+        stamps = np.full((n,), -np.inf, np.float32)
+        payload = (
+            np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+            if eye
+            else np.zeros((n,) + payload_shape, np.float32)
+        )
+        for k, (s, v) in enumerate(take):
+            stamps[pad + k] = s
+            payload[pad + k] = v
+        return stamps, payload
+
+    def process_scans(self, stamps, xyzs, valids=None):
+        """Advance every robot one sweep. stamps (B,), xyzs (B,P,3) or a
+        list of per-robot (Pi,3) arrays. Returns (poses (B,4,4), outs).
+
+        Robots whose lidar missed this tick can be fed their previous
+        scan or an empty array (all-masked) — the per-robot drop
+        statistics and health cascade behave as in the single session."""
+        import jax.numpy as jnp
+
+        from locus_tpu.runner import pack_scan
+
+        B = self.num_robots
+        cap = self.cfg.raw_scan_capacity
+        xyz_b = np.zeros((B, cap, 3), np.float32)
+        mask_b = np.zeros((B, cap), bool)
+        for b in range(B):
+            xyz = np.asarray(xyzs[b], np.float32)
+            valid = (
+                np.ones(len(xyz), bool) if valids is None else np.asarray(valids[b], bool)
+            )
+            xyz_b[b], mask_b[b] = pack_scan(xyz, valid, cap)
+
+        imu_s = np.zeros((B, self.imu_window), np.float32)
+        imu_q = np.zeros((B, self.imu_window, 4), np.float32)
+        odo_s = np.zeros((B, self.odom_window), np.float32)
+        odo_p = np.zeros((B, self.odom_window, 4, 4), np.float32)
+        for b in range(B):
+            imu_s[b], imu_q[b] = self._drain(
+                self._imu_queues[b], self.imu_window, (4,)
+            )
+            odo_s[b], odo_p[b] = self._drain(
+                self._odom_queues[b], self.odom_window, (4, 4), eye=True
+            )
+
+        self.states, outs = self._step(
+            self.states,
+            jnp.asarray(xyz_b), jnp.asarray(mask_b),
+            jnp.asarray(np.asarray(stamps, np.float32)),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odo_s), jnp.asarray(odo_p),
+            jnp.full((B,), self._scan_count, jnp.int32),
+        )
+        self._scan_count += 1
+        return np.asarray(outs.pose), outs

@@ -228,3 +228,34 @@ def test_live_gt_map_bootstrap(tmp_path, seq):
     assert err < 0.25, err
     # pure localization: no keyframes were added
     assert sess._keyframe_count == 0
+
+
+def test_multi_robot_session_tracks_independently():
+    """MultiRobotSession: B robots advance in ONE device program, each
+    with its own map/pose; trajectories match two single sessions."""
+    from locus_tpu.live import MultiRobotSession
+
+    seq_a = make_tunnel_sequence(num_scans=6, azimuth_steps=256, step=0.3, seed=2)
+    seq_b = make_tunnel_sequence(num_scans=6, azimuth_steps=256, step=0.4, seed=9)
+    cfg = small_cfg()
+
+    multi = MultiRobotSession(
+        cfg=cfg, num_robots=2,
+        initial_poses=np.stack([seq_a.gt_poses[0], seq_b.gt_poses[0]]),
+    )
+    poses_multi = []
+    for i in range(6):
+        p, _ = multi.process_scans(
+            [seq_a.stamps[i], seq_b.stamps[i]],
+            [seq_a.scans[i], seq_b.scans[i]],
+            [seq_a.scan_valid[i], seq_b.scan_valid[i]],
+        )
+        poses_multi.append(p)
+    poses_multi = np.stack(poses_multi)   # (T, 2, 4, 4)
+
+    for b, seq in ((0, seq_a), (1, seq_b)):
+        single = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0])
+        sp = single.run(scan_stream(seq, 6))
+        np.testing.assert_allclose(
+            poses_multi[:, b, :3, 3], sp[:, :3, 3], atol=1e-4,
+        )
