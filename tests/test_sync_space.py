@@ -70,3 +70,37 @@ def test_space_monitor_switches_thresholds():
     raw2 = PointCloud.from_points(narrow, capacity=cfg.raw_scan_capacity)
     state, out = step(state, raw2)
     assert not bool(state.open_space)
+
+
+def test_xy_cross_section_published():
+    """b_publish_xy_cross_section: the step output carries the measured
+    area when the in-graph monitor runs, and -1 when publishing is off."""
+    import jax
+
+    from tests.test_pipeline import small_cfg
+    from locus_tpu import pipeline
+    from locus_tpu.core.cloud import PointCloud
+
+    rng = np.random.default_rng(0)
+    wide = rng.uniform(-20, 20, size=(1000, 3)).astype(np.float32)
+    wide[:, 2] = rng.uniform(-0.5, 0.5, size=1000)
+
+    for publish, expect_area in ((True, True), (False, False)):
+        cfg = small_cfg(
+            b_monitor_space=True,
+            b_publish_xy_cross_section=publish,
+            xy_cross_section_threshold=100.0,
+        )
+        raw = PointCloud.from_points(wide, capacity=cfg.raw_scan_capacity)
+        state = pipeline.init_state(cfg)
+        state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+        step = jax.jit(
+            lambda st, rw: pipeline.step(st, rw, jnp.asarray(0.1, jnp.float32), cfg)
+        )
+        _, out = step(state, raw)
+        area = float(out.xy_cross_section)
+        if expect_area:
+            # ~40x40 box of points, minus voxel-thinning jitter
+            assert area > 100.0, area
+        else:
+            assert area == -1.0
