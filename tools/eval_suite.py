@@ -61,6 +61,32 @@ def main():
         }
         if backend is not None:
             results[world]["loop_closures"] = backend.loops_found
+
+    # fifth world: REAL garage geometry (reference PCD), synthetic
+    # trajectory — see tools/real_data_battery.py / PARITY.md
+    import importlib.util
+    import os
+    import sys as _sys
+
+    tools_dir = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "real_data_battery", os.path.join(tools_dir, "real_data_battery.py")
+    )
+    bat = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bat)
+    if os.path.exists(bat.REFERENCE):
+        gseq = bat.make_garage_sequence(num_scans=min(args.scans, 48))
+        poses, _, _ = run_sequence(gseq, cfg, collect_outputs=False)
+        gt = gseq.gt_poses[: poses.shape[0]]
+        t_rpe, r_rpe = rpe(poses, gt)
+        results["garage_real_geom"] = {
+            "ate_m": round(ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False), 4),
+            "rpe_t_m": round(t_rpe, 4),
+            "rpe_r_deg": round(float(np.degrees(r_rpe)), 4),
+            "distance_m": round(
+                float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))), 1
+            ),
+        }
     print(json.dumps(results, indent=2))
     if args.json:
         with open(args.json, "w") as f:
