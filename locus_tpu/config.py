@@ -59,6 +59,12 @@ class RegistrationConfig:
     # Newton-direction + line-search scheme (ndt_omp_impl.hpp
     # computeDerivatives/computeStepLengthMT) on the SE(3) tangent.
     ndt_optimizer: str = "irls"
+    # NDT voxel neighborhood (the reference's NeighborSearchMethod,
+    # ndt_omp.h:51: DIRECT1 / DIRECT7 / DIRECT26; KDTREE maps to
+    # "direct7" here — the hashed direct-address lookup subsumes the
+    # kd-tree's radius query at the same 1-voxel reach). Candidate
+    # count is shape-defining: 1, 7, or 27 hashed gathers per point.
+    ndt_neighborhood: str = "direct7"  # "direct1" | "direct7" | "direct26"
 
     @staticmethod
     def localization_default() -> "RegistrationConfig":

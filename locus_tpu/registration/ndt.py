@@ -324,17 +324,31 @@ def ndt_register(
         T, it, delta, _, _ = carry
         return (it < cfg.iterations) & (delta >= 1.0)
 
-    # DIRECT7 component lookup (the reference's default search mode,
-    # ndt_omp.h:51): each point contributes to its own voxel's Gaussian
-    # and the 6 face neighbors. Looked up by binary search into the
-    # sorted packed voxel keys — O(N·7·log V) gathers instead of the
-    # (N,V) distance matrix + top-k a spatial kNN needs.
-    OFFS = jnp.asarray(
-        [[0, 0, 0], [1, 0, 0], [-1, 0, 0],
-         [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
-        jnp.int32,
-    )
-    K = 7
+    # DIRECT-mode component lookup (the reference's NeighborSearchMethod,
+    # ndt_omp.h:51): each point contributes to a fixed voxel neighborhood
+    # — its own voxel (DIRECT1), + 6 face neighbors (DIRECT7, the
+    # reference default), or the full 3x3x3 block (DIRECT26). Each
+    # candidate is ONE hashed gather into the direct-address table
+    # instead of the (N,V) distance matrix + top-k a spatial kNN needs.
+    if cfg.ndt_neighborhood == "direct1":
+        offs = [[0, 0, 0]]
+    elif cfg.ndt_neighborhood == "direct26":
+        offs = [
+            [i, j, k]
+            for i in (0, -1, 1)
+            for j in (0, -1, 1)
+            for k in (0, -1, 1)
+        ]
+    elif cfg.ndt_neighborhood == "direct7":
+        offs = [[0, 0, 0], [1, 0, 0], [-1, 0, 0],
+                [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
+    else:
+        raise ValueError(
+            f"ndt_neighborhood must be direct1|direct7|direct26, "
+            f"got {cfg.ndt_neighborhood!r}"
+        )
+    OFFS = jnp.asarray(offs, jnp.int32)
+    K = len(offs)
     n_src = source.capacity
 
     def direct7(p):
