@@ -59,6 +59,13 @@ class RegistrationConfig:
     # Newton-direction + line-search scheme (ndt_omp_impl.hpp
     # computeDerivatives/computeStepLengthMT) on the SE(3) tangent.
     ndt_optimizer: str = "irls"
+    # Line search for the "newton" optimizer: "more_thuente" runs the
+    # reference's Moré–Thuente interval machine (computeStepLengthMT,
+    # ndt_omp_impl.hpp:888-1060: mu=1e-4, nu=0.9, <=10 trials,
+    # step_max=ndt_step_size, step_min=tf_epsilon/2) as a scalar
+    # lax.while_loop — each trial is one fused score+gradient pass;
+    # "armijo" is the cheaper 5-candidate backtracking variant.
+    ndt_line_search: str = "more_thuente"
     # NDT voxel neighborhood (the reference's NeighborSearchMethod,
     # ndt_omp.h:51: DIRECT1 / DIRECT7 / DIRECT26; KDTREE maps to
     # "direct7" here — the hashed direct-address lookup subsumes the

@@ -178,9 +178,151 @@ def build_ndt_targets(
     )
 
 
-def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size):
-    """One Newton direction + Armijo-backtracking step on the NDT score,
-    the reference's optimizer scheme (ndt_omp_impl.hpp computeDerivatives
+def _mt_trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Moré–Thuente trial value selection (trialValueSelectionMT,
+    ndt_omp_impl.hpp:803-882; cases 1-4 of [Moré, Thuente 1994] §4 with
+    the cubic/quadratic minimizers of [Sun, Yuan 2006] eq. 2.4.2/2.4.5/
+    2.4.52/2.4.56), written branchless for the traced scalar loop.
+
+    All quantities are scalars; divisions are guarded and the case
+    predicates select among the four candidates."""
+    eps = 1e-12
+
+    def safe_div(a, b):
+        return a / jnp.where(jnp.abs(b) < eps, jnp.where(b < 0, -eps, eps), b)
+
+    # cubic interpolating (a_l,f_l,g_l),(a_t,f_t,g_t)  [2.4.52/2.4.56]
+    # (w is the positive root, as in the reference)
+    z = 3.0 * safe_div(f_t - f_l, a_t - a_l) - g_t - g_l
+    w = jnp.sqrt(jnp.maximum(z * z - g_t * g_l, 0.0))
+    a_c = a_l + (a_t - a_l) * safe_div(w - g_l - z, g_t - g_l + 2.0 * w)
+    # quadratic through f_l, f_t, g_l  [2.4.2]
+    a_q = a_l - 0.5 * (a_l - a_t) * safe_div(
+        g_l, g_l - safe_div(f_l - f_t, a_l - a_t)
+    )
+    # secant (quadratic through g_l, g_t)  [2.4.5]
+    a_s = a_l - safe_div(a_l - a_t, g_l - g_t) * g_l
+    # cubic interpolating the (a_u, f_u, g_u), (a_t, f_t, g_t) pair (case 4)
+    z4 = 3.0 * safe_div(f_t - f_u, a_t - a_u) - g_t - g_u
+    w4 = jnp.sqrt(jnp.maximum(z4 * z4 - g_t * g_u, 0.0))
+    w4 = jnp.where(a_t < a_u, -w4, w4)
+    a_c4 = a_u + (a_t - a_u) * safe_div(w4 - g_u - z4, g_t - g_u + 2.0 * w4)
+    a_c4 = jnp.where(jnp.abs(a_t - a_u) < eps, a_t, a_c4)
+
+    case1 = f_t > f_l
+    case2 = (~case1) & (g_t * g_l < 0.0)
+    case3 = (~case1) & (~case2) & (jnp.abs(g_t) <= jnp.abs(g_l))
+
+    v1 = jnp.where(
+        jnp.abs(a_c - a_l) < jnp.abs(a_q - a_l), a_c, 0.5 * (a_q + a_c)
+    )
+    v2 = jnp.where(jnp.abs(a_c - a_t) >= jnp.abs(a_s - a_t), a_c, a_s)
+    v3n = jnp.where(jnp.abs(a_c - a_t) < jnp.abs(a_s - a_t), a_c, a_s)
+    v3 = jnp.where(
+        a_t > a_l,
+        jnp.minimum(a_t + 0.66 * (a_u - a_t), v3n),
+        jnp.maximum(a_t + 0.66 * (a_u - a_t), v3n),
+    )
+    out = jnp.where(case1, v1, jnp.where(case2, v2, jnp.where(case3, v3, a_c4)))
+    return jnp.where(jnp.isfinite(out), out, a_t)
+
+
+def _mt_update_interval(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
+    """Moré–Thuente interval update (updateIntervalMT,
+    ndt_omp_impl.hpp:755-799: cases U1-U3 / a-c), branchless. Returns the
+    new endpoints and the interval-converged flag."""
+    u1 = f_t > f_l
+    u2 = (~u1) & (g_t * (a_l - a_t) > 0.0)
+    u3 = (~u1) & (g_t * (a_l - a_t) < 0.0)
+    conv = ~(u1 | u2 | u3)
+    # U1: t replaces u.  U2: t replaces l.  U3: l->u, t->l.
+    n_a_u = jnp.where(u1, a_t, jnp.where(u3, a_l, a_u))
+    n_f_u = jnp.where(u1, f_t, jnp.where(u3, f_l, f_u))
+    n_g_u = jnp.where(u1, g_t, jnp.where(u3, g_l, g_u))
+    rep_l = u2 | u3
+    n_a_l = jnp.where(rep_l, a_t, a_l)
+    n_f_l = jnp.where(rep_l, f_t, f_l)
+    n_g_l = jnp.where(rep_l, g_t, g_l)
+    return n_a_l, n_f_l, n_g_l, n_a_u, n_f_u, n_g_u, conv
+
+
+def _more_thuente_alpha(phi_fn, phi_0, d_phi_0, step_init, step_min, step_max):
+    """The Search Algorithm for T(mu) [Moré, Thuente 1994] as a scalar
+    lax.while_loop (computeStepLengthMT, ndt_omp_impl.hpp:888-1060).
+
+    phi_fn(alpha) -> (phi, d_phi): one fused pass over the point set per
+    trial (score + directional derivative along the search direction).
+    Runs the auxiliary function psi until the interval closes, then phi;
+    terminates on sufficient decrease + curvature (mu=1e-4, nu=0.9),
+    interval convergence, or 10 trials — the reference notes most calls
+    accept the very first trial, so the loop body usually runs zero
+    times (dynamic trip count is free in lax.while_loop)."""
+    mu, nu = 1e-4, 0.9
+
+    def psi_of(a, phi):
+        return phi - phi_0 - mu * a * d_phi_0
+
+    def dpsi_of(dphi):
+        return dphi - mu * d_phi_0
+
+    a_t0 = jnp.clip(step_init, step_min, step_max)
+    phi_t0, dphi_t0 = phi_fn(a_t0)
+
+    # endpoints start at alpha=0 in psi form: psi(0)=0, psi'(0)=(1-mu)phi'(0)
+    g0 = (1.0 - mu) * d_phi_0
+    zero = jnp.asarray(0.0, jnp.float32)
+    init = (
+        zero, zero, g0,          # a_l, f_l, g_l
+        zero, zero, g0,          # a_u, f_u, g_u
+        a_t0, phi_t0, dphi_t0,   # a_t, phi_t, dphi_t
+        jnp.asarray(True),       # open interval
+        jnp.asarray(step_max - step_min < 0.0),  # interval converged
+        jnp.asarray(0, jnp.int32),
+    )
+
+    def cond(c):
+        _, _, _, _, _, _, a_t, phi_t, dphi_t, _, conv, it = c
+        psi_t = psi_of(a_t, phi_t)
+        done = (psi_t <= 0.0) & (dphi_t <= -nu * d_phi_0)
+        return (~conv) & (it < 10) & (~done)
+
+    def body(c):
+        a_l, f_l, g_l, a_u, f_u, g_u, a_t, phi_t, dphi_t, open_i, _, it = c
+        psi_t, dpsi_t = psi_of(a_t, phi_t), dpsi_of(dphi_t)
+        f_t = jnp.where(open_i, psi_t, phi_t)
+        g_t = jnp.where(open_i, dpsi_t, dphi_t)
+        a_n = _mt_trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t)
+        a_n = jnp.clip(a_n, step_min, step_max)
+        phi_n, dphi_n = phi_fn(a_n)
+        psi_n, dpsi_n = psi_of(a_n, phi_n), dpsi_of(dphi_n)
+
+        close = open_i & (psi_n <= 0.0) & (dpsi_n >= 0.0)
+        # convert endpoints from psi to phi form when the interval closes
+        # (phi = psi + phi_0 + mu*a*phi'_0; the reference's conversion
+        # carries a PCL-inherited sign slip on the a term — corrected
+        # here, immaterial since a_l/a_u are usually 0 at closing time)
+        f_l = jnp.where(close, f_l + phi_0 + mu * d_phi_0 * a_l, f_l)
+        g_l = jnp.where(close, g_l + mu * d_phi_0, g_l)
+        f_u = jnp.where(close, f_u + phi_0 + mu * d_phi_0 * a_u, f_u)
+        g_u = jnp.where(close, g_u + mu * d_phi_0, g_u)
+        open_n = open_i & ~close
+
+        f_n = jnp.where(open_n, psi_n, phi_n)
+        g_n = jnp.where(open_n, dpsi_n, dphi_n)
+        a_l, f_l, g_l, a_u, f_u, g_u, conv = _mt_update_interval(
+            a_l, f_l, g_l, a_u, f_u, g_u, a_n, f_n, g_n
+        )
+        return (a_l, f_l, g_l, a_u, f_u, g_u, a_n, phi_n, dphi_n,
+                open_n, conv, it + 1)
+
+    out = lax.while_loop(cond, body, init)
+    return out[6]
+
+
+def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size,
+                       line_search="more_thuente", tf_eps=1e-3):
+    """One Newton direction + line-search step on the NDT score, the
+    reference's optimizer scheme (ndt_omp_impl.hpp computeDerivatives
     :253-341 + computeStepLengthMT :888-1060) re-based onto the SE(3)
     tangent so every per-point quantity is a fused (N,) expression.
 
@@ -191,11 +333,19 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size):
         H = sum c_i (J^T B J - d2 u u^T)     (point-Hessian term of the
             Euler parametrization has no tangent-space analog at xi=0
             and is dropped, as in most NDT implementations)
-    The line search replaces More-Thuente's interval machine with
-    5-candidate Armijo backtracking on the true score — the reference
-    itself notes 'most step calculations use the initial step
-    suggestion' (ndt_omp_impl.hpp:963-966); correspondences are held
-    fixed within the outer iteration.
+    line_search:
+      "more_thuente" — the reference's interval machine
+          (_more_thuente_alpha): normalized direction, step_init =
+          Newton-step norm, step_max = cfg.ndt_step_size, step_min =
+          tf_epsilon/2, exactly as computeTransformation wires it
+          (ndt_omp_impl.hpp:150-176). Each trial is one fused
+          score+directional-derivative pass; most calls accept the
+          first trial, so the while_loop body usually runs 0 times.
+      "armijo" — 5-candidate backtracking on the true score (fixed
+          trip count: all candidates evaluate in one vmapped pass —
+          cheaper when the relay/launch overhead dominates).
+    Correspondences are held fixed within the outer iteration in both
+    modes, as in the reference.
 
     Returns the accepted tangent step (6,).
     """
@@ -263,17 +413,56 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size):
     delta = jnp.where(jnp.any(~jnp.isfinite(delta)), -g, delta)
     gTd0 = jnp.dot(g, delta)
     delta = jnp.where(gTd0 > 0, -delta, delta)
-    # Step-norm cap (the reference clamps the line search to step_max =
-    # step_size): one Newton step moves at most ~10x the configured
-    # step size (cfg.ndt_step_size); the outer loop supplies the rest.
+    d1w = gauss_d1 * w_gate
+    F0 = jnp.sum(d1w * e)
+
+    if line_search == "more_thuente":
+        # Reference wiring (ndt_omp_impl.hpp:150-176): search along the
+        # NORMALIZED direction; initial trial = Newton-step norm; the
+        # accepted alpha is clamped to [tf_eps/2, step_size].
+        nrm = jnp.linalg.norm(delta)
+        dirn = delta / jnp.maximum(nrm, 1e-12)
+        dv, dw = dirn[:3], dirn[3:]
+        d_phi_0 = jnp.dot(g, dirn)
+
+        def phi_fn(alpha):
+            T_a = se3.se3_exp(alpha * dirn)
+            p_a = se3.transform_points(T_a, p_cur)
+            ra = p_a - mu
+            Bra = _sym3_vec(M, ra[:, 0], ra[:, 1], ra[:, 2])
+            ma = ra[:, 0] * Bra[0] + ra[:, 1] * Bra[1] + ra[:, 2] * Bra[2]
+            ea = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(ma, 50.0))
+            F = jnp.sum(d1w * ea)
+            ca = jnp.maximum(-gauss_d1, 1e-12) * gauss_d2 * ea * w_gate
+            # dF/dalpha = sum c * Br . (v + w x p)  (spatial twist of the
+            # point under the tangent direction)
+            px_, py_, pz_ = p_a[:, 0], p_a[:, 1], p_a[:, 2]
+            cx = dw[1] * pz_ - dw[2] * py_
+            cy = dw[2] * px_ - dw[0] * pz_
+            cz = dw[0] * py_ - dw[1] * px_
+            dF = jnp.sum(
+                ca * (Bra[0] * (dv[0] + cx)
+                      + Bra[1] * (dv[1] + cy)
+                      + Bra[2] * (dv[2] + cz))
+            )
+            return F, dF
+
+        alpha = _more_thuente_alpha(
+            phi_fn, F0, d_phi_0,
+            step_init=nrm,
+            step_min=jnp.asarray(tf_eps / 2.0, jnp.float32),
+            step_max=jnp.asarray(step_size, jnp.float32),
+        )
+        # degenerate direction (phi'(0) == 0): no move
+        alpha = jnp.where(d_phi_0 >= 0.0, 0.0, alpha)
+        return alpha * dirn
+
+    # "armijo": F(alpha) for 5 backtracking candidates; accept the first
+    # Armijo-sufficient one (else the smallest step). Step-norm cap: one
+    # Newton step moves at most ~10x the configured step size.
     cap = 10.0 * step_size
     nrm = jnp.linalg.norm(delta)
     delta = delta * jnp.minimum(1.0, cap / jnp.maximum(nrm, 1e-12))
-
-    # F(alpha) for 5 backtracking candidates; accept the first Armijo-
-    # sufficient one (else the smallest step).
-    d1w = gauss_d1 * w_gate
-    F0 = jnp.sum(d1w * e)
     gTd = jnp.dot(g, delta)
 
     alphas = jnp.asarray([1.0, 0.5, 0.25, 0.125, 0.0625], jnp.float32)
@@ -388,6 +577,8 @@ def ndt_register(
             step = _newton_step_comps(
                 p_cur, mu, M, w_gate, gauss_d1, gauss_d2,
                 cfg.levenberg_lambda, cfg.ndt_step_size,
+                line_search=cfg.ndt_line_search,
+                tf_eps=cfg.tf_epsilon,
             )
             T_new = se3.compose(se3.se3_exp(step), T)
         else:

@@ -146,3 +146,31 @@ def test_ndt_neighborhood_modes():
             src, tgt,
             cfg=dataclasses.replace(base, ndt_neighborhood="direct99"),
         )
+
+
+def test_ndt_more_thuente_line_search():
+    """The Moré–Thuente interval machine (computeStepLengthMT,
+    ndt_omp_impl.hpp:888-1060) and the Armijo fallback must both recover
+    the synthetic transform, and agree at convergence."""
+    import dataclasses
+
+    target = room_cloud(seed=3)
+    true_shift = jnp.asarray([0.12, -0.06, 0.04], jnp.float32)
+    src_xyz = target.xyz - true_shift[None, :]
+    source = PointCloud(
+        jnp.where(target.mask[:, None], src_xyz, target.xyz),
+        target.normals, target.intensity, target.mask,
+    )
+    base = RegistrationConfig(
+        iterations=30, corr_dist=1.0, ndt_resolution=1.0,
+        ndt_optimizer="newton",
+    )
+    got = {}
+    for ls in ("more_thuente", "armijo"):
+        cfg = dataclasses.replace(base, ndt_line_search=ls)
+        res = ndt_register(source, target, cfg=cfg)
+        t = se3.translation(res.transform)
+        err = float(jnp.linalg.norm(t - true_shift))
+        assert err < 0.06, (ls, err)
+        got[ls] = np.asarray(t)
+    assert np.linalg.norm(got["more_thuente"] - got["armijo"]) < 0.02
