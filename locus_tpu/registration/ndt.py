@@ -521,6 +521,14 @@ def ndt_register(
     # instead of the (N,V) distance matrix + top-k a spatial kNN needs.
     if cfg.ndt_neighborhood == "direct1":
         offs = [[0, 0, 0]]
+    elif cfg.ndt_neighborhood == "kdtree":
+        # The reference's KDTREE mode radius-searches the leaf centers at
+        # the voxel resolution (ndt_omp_impl.hpp:277-284) — within one
+        # resolution of the query, which is exactly the face-neighbor
+        # reach; the hashed DIRECT7 table answers the same query without
+        # the tree, so KDTREE aliases to it.
+        offs = [[0, 0, 0], [1, 0, 0], [-1, 0, 0],
+                [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
     elif cfg.ndt_neighborhood == "direct26":
         offs = [
             [i, j, k]
