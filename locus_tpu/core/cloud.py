@@ -127,10 +127,25 @@ class PointCloud:
         return PointCloud(xyz, normals, self.intensity, self.mask)
 
     def compact(self, capacity: Optional[int] = None) -> "PointCloud":
-        """Stable-sort valid points to the front (jit-safe)."""
+        """Stable partition of valid points to the front (jit-safe).
+
+        Sort-free: a boolean argsort costs a full 32-bit key sort on TPU
+        (~0.1-0.3 ms at 4k lanes); the stable partition is two cumsums
+        and one small scatter building the inverse permutation."""
         cap = capacity if capacity is not None else self.capacity
-        order = jnp.argsort(~self.mask, stable=True)  # valid first
-        take = order[:cap]
+        n = self.capacity
+        m = self.mask
+        nv = jnp.cumsum(m.astype(jnp.int32))
+        pos = jnp.where(
+            m,
+            nv - 1,                                   # valid: prefix slot
+            nv[-1] + jnp.cumsum((~m).astype(jnp.int32)) - 1,
+        )
+        take = (
+            jnp.zeros((n,), jnp.int32)
+            .at[pos]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )[:cap]
         return PointCloud(
             self.xyz[take],
             self.normals[take],

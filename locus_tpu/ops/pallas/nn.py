@@ -29,6 +29,7 @@ Layout notes (hard-won):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BQ = 256      # query tile (grid dim)
-BT = 2048     # target chunk streamed inside the kernel
+# Target chunk size = the pruning granularity: a chunk is visited when
+# its bounding box is within `radius` of the query tile's box. Ring-store
+# chunks inherit insertion locality (points land keyframe by keyframe),
+# so smaller chunks -> tighter boxes -> fewer visited points, at the cost
+# of more / smaller MXU dots. tools/nn_bench.py measures the tradeoff at
+# production shapes. Env override for experiments.
+BT = int(os.environ.get("LOCUS_NN_BT", "2048"))
 AUG = 8       # augmented K dim
 
 

@@ -1,0 +1,182 @@
+"""Microbenchmark: map-ANN kernel at production shapes vs chunk size.
+
+The bounded 1-NN kernel prunes at BT-point chunk granularity
+(ops/pallas/nn.py chunk_boxes): a chunk is visited when its bounding box
+is within `radius` of the query tile's box. In the ring store, chunk
+locality = insertion locality (points land keyframe by keyframe), so
+smaller chunks give tighter boxes and fewer visited points — at the cost
+of more, smaller MXU dots and a longer visit list.
+
+This tool builds a realistic ring-store map (K keyframes of ~4k points
+each along a tunnel trajectory, exactly the layout the production store
+produces), then times the bounded kernel for the scan-vs-map query at
+each LOCUS_NN_BT in --bt. Timing is fenced with np.asarray (the remote
+relay returns early from block_until_ready) and reported per call after
+subtracting the measured relay floor.
+
+Usage: python tools/nn_bench.py [--bt 512,1024,2048] [--map-kf 32]
+"""
+import argparse
+import importlib
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+import _pathsetup  # noqa: F401
+
+
+def run_one(bt: int, map_kf: int, reps: int) -> dict:
+    """Run in a subprocess so the module-level BT constant re-imports."""
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", "--map-kf", str(map_kf),
+         "--reps", str(reps)],
+        env={**os.environ, "LOCUS_NN_BT": str(bt)},
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if out.returncode != 0:
+        return {"bt": bt, "error": out.stderr[-400:]}
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def child(map_kf: int, reps: int):
+    import jax
+    import jax.numpy as jnp
+
+    from locus_tpu.ops.pallas import nn as nn_mod
+
+    rng = np.random.default_rng(0)
+    # ring-store layout: keyframes appended along a +x tunnel, 1 m apart;
+    # each keyframe is ~4096 points on a 4 m-radius tunnel shell around
+    # the pose — matches what insert_keyframe writes.
+    kf_pts = 4096
+    pts = []
+    for k in range(map_kf):
+        center = np.array([k * 1.0, 0.0, 0.0])
+        theta = rng.uniform(0, 2 * np.pi, kf_pts)
+        x = rng.uniform(-6.0, 6.0, kf_pts)
+        r = 4.0 + rng.normal(0, 0.02, kf_pts)
+        pts.append(
+            np.stack(
+                [center[0] + x, r * np.cos(theta), r * np.sin(theta)], axis=1
+            )
+        )
+    map_xyz = np.concatenate(pts).astype(np.float32)
+    m_cap = 1 << 17
+    map_xyz = map_xyz[:m_cap]
+    m = map_xyz.shape[0]
+    pad = m_cap - m
+    map_full = np.concatenate(
+        [map_xyz, np.full((pad, 3), 1e8, np.float32)]
+    )
+    mask = np.concatenate([np.ones(m, bool), np.zeros(pad, bool)])
+
+    # query scan: view from the last keyframe pose
+    q_center = np.array([map_kf - 1.0, 0.0, 0.0])
+    theta = rng.uniform(0, 2 * np.pi, 4096)
+    x = rng.uniform(-6.0, 6.0, 4096)
+    r = 4.0 + rng.normal(0, 0.02, 4096)
+    query = np.stack(
+        [q_center[0] + x, r * np.cos(theta), r * np.sin(theta)], axis=1
+    ).astype(np.float32)
+    # sort queries by voxel key like voxel_downsample output (spatial
+    # coherence inside query tiles)
+    key = np.floor(query / 0.3).astype(np.int64)
+    order = np.lexsort((key[:, 2], key[:, 1], key[:, 0]))
+    query = query[order]
+
+    from jax import lax
+
+    mq = jnp.asarray(map_full)
+    t_aug = nn_mod.build_nn_target(mq)
+    c_min, c_max = nn_mod.chunk_boxes(mq, jnp.asarray(mask), t_aug.shape[1])
+    qd = jnp.asarray(query)
+
+    # Time REPS kernel calls inside ONE jitted fori_loop with a data
+    # dependence threaded through the query (the remote relay costs
+    # ~26 ms per invocation; per-call async dispatch adds ~2 ms — both
+    # would swamp the sub-ms device time of a single call).
+    def loop_fn(q0, reps_):
+        def body(_, acc):
+            d2, idx = nn_mod.nearest_pallas_bounded_pre(
+                q0 + acc * 1e-12, t_aug, mq, c_min, c_max, 2.0
+            )
+            return jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0))
+
+        return lax.fori_loop(0, reps_, body, jnp.asarray(0.0, jnp.float32))
+
+    timed = jax.jit(partial_loop(loop_fn, reps))
+    calib = jax.jit(partial_loop(lambda q0, r: jnp.sum(q0), 1))
+    _ = np.asarray(timed(qd)); _ = np.asarray(calib(qd))
+
+    def best_of(f, n=3):
+        b = np.inf
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(qd))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    total = best_of(timed)
+    floor = best_of(calib)
+    ms = (total - floor) * 1e3 / reps
+
+    # correctness probe vs brute force: the matmul-score argmin can pick
+    # a near-tie neighbor (score abs error ~|coord|^2 * f32 eps), so
+    # compare squared distances with that absolute tolerance.
+    d2, idx = jax.jit(
+        lambda q: nn_mod.nearest_pallas_bounded_pre(
+            q, t_aug, mq, c_min, c_max, 2.0
+        )
+    )(qd)
+    sub = np.arange(0, 4096, 64)
+    d_ref = np.min(
+        np.sum((query[sub][:, None, :] - map_xyz[None, :, :]) ** 2, axis=2),
+        axis=1,
+    )
+    d_got = np.asarray(d2)[sub]
+    tol = 3e-4
+    ok = bool(
+        np.all(np.isfinite(d_got[d_ref <= 4.0]))
+        and np.all(d_got[d_ref <= 4.0] <= d_ref[d_ref <= 4.0] + tol)
+    )
+    print(json.dumps({
+        "bt": nn_mod.BT,
+        "map_points": int(m),
+        "ms_per_call": ms,
+        "floor_ms": floor * 1e3,
+        "near_exact": ok,
+    }))
+
+
+def partial_loop(fn, reps):
+    def f(q0):
+        return fn(q0, reps)
+
+    return f
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bt", default="512,1024,2048")
+    ap.add_argument("--map-kf", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument("--child", action="store_true")
+    args = ap.parse_args()
+    if args.child:
+        child(args.map_kf, args.reps)
+        return
+    rows = [
+        run_one(int(bt), args.map_kf, args.reps)
+        for bt in args.bt.split(",")
+    ]
+    print(json.dumps(rows, indent=1))
+
+
+if __name__ == "__main__":
+    main()
