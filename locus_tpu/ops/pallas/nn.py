@@ -42,8 +42,11 @@ BQ = 256      # query tile (grid dim)
 # its bounding box is within `radius` of the query tile's box. Ring-store
 # chunks inherit insertion locality (points land keyframe by keyframe),
 # so smaller chunks -> tighter boxes -> fewer visited points, at the cost
-# of more / smaller MXU dots. tools/nn_bench.py measures the tradeoff at
-# production shapes. Env override for experiments.
+# of more / smaller MXU dots and longer visit lists. Measured at
+# production shape (131k-slot tunnel map, 4096 queries, v5e,
+# tools/nn_bench.py): 2048 -> 1.30 ms, 1024 -> 1.35, 512 -> 1.41 — the
+# per-visit loop overhead beats the extra pruning, so 2048 stays.
+# Env override for experiments.
 BT = int(os.environ.get("LOCUS_NN_BT", "2048"))
 AUG = 8       # augmented K dim
 
