@@ -299,3 +299,35 @@ def test_random_filter_open_space_variant(tunnel_seq):
     step = pipeline.make_step(cfg)
     state2, out = step(state, raw, jnp.asarray(0.1, jnp.float32))
     assert int(out.num_points) > 0
+
+
+def test_ndt_newton_mt_pipeline_e2e(tunnel_seq):
+    """Full pipeline with the reference-scheme NDT optimizer (Newton
+    direction + More-Thuente line search) for both stages — exercises
+    the scalar interval machine inside the jitted scan step."""
+    import dataclasses
+
+    base = small_cfg()
+    newton = dict(
+        registration_method="ndt", ndt_resolution=0.5, iterations=25,
+        ndt_optimizer="newton", ndt_line_search="more_thuente",
+    )
+    cfg = base.replace(
+        odometry=dataclasses.replace(base.odometry, **newton),
+        localization=dataclasses.replace(
+            base.localization,
+            registration=dataclasses.replace(
+                base.localization.registration, **newton
+            ),
+        ),
+        fusion=FusionConfig(data_integration_mode=3),
+    )
+    poses, outputs, _ = run_sequence(tunnel_seq, cfg, max_scans=8)
+    gt = tunnel_seq.gt_poses[:8]
+    from locus_tpu.metrics import ate_rmse as _ate
+
+    ate = _ate(poses[:, :3, 3], gt[:, :3, 3], align=False)
+    # newton+MT moves at most ndt_step_size per outer iteration, so it
+    # tracks more loosely than IRLS on this coarse fixture; assert it
+    # stays locked on the trajectory
+    assert ate < 0.6, ate
