@@ -112,8 +112,8 @@ def build_ndt_targets(
 ) -> NDTTargets:
     """Per-voxel Gaussian statistics (VoxelGridCovariance equivalent).
 
-    One wide (N,10) segment-sum carries count, first and second moments
-    together (the fused-payload trick from ops/voxel.py); covariance,
+    Two segment-sums (a (N,4) count/mean pass, then a (N,6) centered
+    second-moment pass — see the cancellation note below); covariance,
     ridge flooring, and the adjugate inverse are all component-form —
     no (N,3,3) arrays anywhere."""
     n = target.capacity
@@ -133,23 +133,36 @@ def build_ndt_targets(
 
     w = mask_s.astype(jnp.float32)
     x, y, z = xyz_s[:, 0], xyz_s[:, 1], xyz_s[:, 2]
-    payload = jnp.stack(
-        [w, w * x, w * y, w * z,
-         w * x * x, w * x * y, w * x * z,
-         w * y * y, w * y * z, w * z * z],
-        axis=1,
-    )
-    acc = jax.ops.segment_sum(payload, seg, num_segments=n)   # (V,10)
-
-    counts = acc[:, 0]
+    # Two-pass centered moments. The one-pass E[xx^T] - m m^T form is
+    # catastrophically cancellative in f32 at scene scale: coordinate
+    # magnitudes ~20 m give |x|^2 ~ 400 with absolute rounding
+    # eps*400 ~ 2e-5 — the same order as a tight cluster's true
+    # variance, which turned one garage voxel's inverse covariance
+    # indefinite (maha < 0 -> exp overflow -> NaN transform). Centering
+    # each point on its voxel mean first makes the second moments small
+    # numbers whose f32 error is relative, not absolute.
+    first = jax.ops.segment_sum(
+        jnp.stack([w, w * x, w * y, w * z], axis=1), seg, num_segments=n
+    )                                                          # (V,4)
+    counts = first[:, 0]
     denom = jnp.maximum(counts, 1.0)
-    mx, my, mz = acc[:, 1] / denom, acc[:, 2] / denom, acc[:, 3] / denom
-    c00 = acc[:, 4] / denom - mx * mx
-    c01 = acc[:, 5] / denom - mx * my
-    c02 = acc[:, 6] / denom - mx * mz
-    c11 = acc[:, 7] / denom - my * my
-    c12 = acc[:, 8] / denom - my * mz
-    c22 = acc[:, 9] / denom - mz * mz
+    mx, my, mz = first[:, 1] / denom, first[:, 2] / denom, first[:, 3] / denom
+    cx = jnp.where(mask_s, x - mx[seg], 0.0)
+    cy = jnp.where(mask_s, y - my[seg], 0.0)
+    cz = jnp.where(mask_s, z - mz[seg], 0.0)
+    second = jax.ops.segment_sum(
+        jnp.stack(
+            [cx * cx, cx * cy, cx * cz, cy * cy, cy * cz, cz * cz], axis=1
+        ),
+        seg,
+        num_segments=n,
+    )                                                          # (V,6)
+    c00 = second[:, 0] / denom
+    c01 = second[:, 1] / denom
+    c02 = second[:, 2] / denom
+    c11 = second[:, 3] / denom
+    c12 = second[:, 4] / denom
+    c22 = second[:, 5] / denom
 
     # Eigenvalue flooring (reference floors small eigenvalues to
     # lambda_max/100); ridge regularization achieves the same bound on
@@ -355,7 +368,7 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size,
     rz = pz - mu[:, 2]
     Br = _sym3_vec(M, rx, ry, rz)
     m = rx * Br[0] + ry * Br[1] + rz * Br[2]
-    e = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(m, 50.0))
+    e = jnp.exp(-0.5 * gauss_d2 * jnp.clip(m, 0.0, 50.0))
     c = jnp.maximum(-gauss_d1, 1e-12) * gauss_d2 * e * w_gate  # (N,) >= 0
 
     # u = J^T B r = [Br ; p x Br]
@@ -431,7 +444,7 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size,
             ra = p_a - mu
             Bra = _sym3_vec(M, ra[:, 0], ra[:, 1], ra[:, 2])
             ma = ra[:, 0] * Bra[0] + ra[:, 1] * Bra[1] + ra[:, 2] * Bra[2]
-            ea = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(ma, 50.0))
+            ea = jnp.exp(-0.5 * gauss_d2 * jnp.clip(ma, 0.0, 50.0))
             F = jnp.sum(d1w * ea)
             ca = jnp.maximum(-gauss_d1, 1e-12) * gauss_d2 * ea * w_gate
             # dF/dalpha = sum c * Br . (v + w x p)  (spatial twist of the
@@ -473,7 +486,7 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size,
         ra = p_a - mu
         Bra = _sym3_vec(M, ra[:, 0], ra[:, 1], ra[:, 2])
         ma = ra[:, 0] * Bra[0] + ra[:, 1] * Bra[1] + ra[:, 2] * Bra[2]
-        return jnp.sum(d1w * jnp.exp(-0.5 * gauss_d2 * jnp.minimum(ma, 50.0)))
+        return jnp.sum(d1w * jnp.exp(-0.5 * gauss_d2 * jnp.clip(ma, 0.0, 50.0)))
 
     Fs = jax.vmap(score_at)(alphas)
     ok = Fs <= F0 + 1e-4 * alphas * gTd
@@ -572,7 +585,7 @@ def ndt_register(
         r = pf - mu
         Br = _sym3_vec(M, r[:, 0], r[:, 1], r[:, 2])
         maha = r[:, 0] * Br[0] + r[:, 1] * Br[1] + r[:, 2] * Br[2]
-        w_score = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(maha, 50.0))
+        w_score = jnp.exp(-0.5 * gauss_d2 * jnp.clip(maha, 0.0, 50.0))
         w = w_gate * w_score
 
         src0f = jnp.repeat(src0, K, axis=0)

@@ -208,3 +208,26 @@ def test_garage_ndt_registration_consistency():
         )
     )
     assert np.linalg.norm(err) < 0.02, np.linalg.norm(err)
+
+
+def test_garage_ndt_icov_positive_definite():
+    """Regression: voxel inverse covariances on the REAL garage cloud
+    must be positive definite. The one-pass E[xx^T] - m m^T moment form
+    lost ~all significant bits for one tight far-from-origin voxel at
+    f32 (|x|^2 ~ 400 vs variance ~1e-5) and produced an indefinite
+    inverse -> negative Mahalanobis -> exp overflow -> NaN transform in
+    DIRECT26 mode; build_ndt_targets now centers per-voxel first."""
+    import numpy as np
+
+    from locus_tpu.registration.ndt import build_ndt_targets
+
+    battery = _load_battery_module()
+    ref = battery.load_cloud(
+        "/root/reference/multithreaded_gicp/test/reference_82_garage.pcd",
+        capacity=8192,
+    )
+    t = build_ndt_targets(ref, resolution=2.0)
+    ic = np.asarray(t.icovs)[np.asarray(t.valid)]
+    ev = np.linalg.eigvalsh(ic)
+    assert ev.min() > 0.0, ev.min()
+    assert np.all(np.isfinite(ic))

@@ -113,6 +113,60 @@ def registration_matrix(
     }
 
 
+def ndt_matrix():
+    """NDT on the real garage pair across optimizer x neighborhood modes
+    (the alternative registrar's real-data row): each mode registers the
+    perturbed query and is scored for consistency against the GICP
+    baseline alignment (the pair's true pose is unknown)."""
+    import itertools as it
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from locus_tpu.config import RegistrationConfig
+    from locus_tpu.geometry import se3
+    from locus_tpu.registration.gicp import gicp_register
+    from locus_tpu.registration.ndt import ndt_register
+
+    ref = load_cloud(REFERENCE, 8192)
+    q = load_cloud(QUERY, 1024)
+    base = gicp_register(
+        q, ref, cfg=RegistrationConfig(corr_dist=1.0, iterations=40)
+    )
+    T0 = np.asarray(base.transform)
+    Tp = se3.make_transform(
+        se3.so3_exp(jnp.asarray([0.0, 0.0, 0.05], jnp.float32)),
+        jnp.asarray([0.2, -0.15, 0.05], jnp.float32),
+    )
+    rows = []
+    for opt, hood in it.product(
+        ("irls", "newton"), ("direct7", "direct26")
+    ):
+        cfg = RegistrationConfig(
+            registration_method="ndt", corr_dist=1.0, iterations=40,
+            ndt_resolution=2.0, ndt_optimizer=opt,
+            ndt_line_search="more_thuente", ndt_neighborhood=hood,
+        )
+        res = ndt_register(q.transform(Tp), ref, cfg=cfg)
+        err = np.asarray(
+            se3.se3_log(
+                jnp.asarray(
+                    np.linalg.inv(T0) @ np.asarray(res.transform)
+                    @ np.asarray(Tp),
+                    jnp.float32,
+                )
+            )
+        )
+        rows.append({
+            "optimizer": opt,
+            "neighborhood": hood,
+            "converged": bool(res.converged),
+            "consistency_vs_gicp": float(np.linalg.norm(err)),
+            "ncorr": int(res.num_correspondences),
+        })
+    return rows
+
+
 def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
                          keep_frac=0.8, max_range=30.0, seed=3):
     """Scans of the real garage cloud from a known trajectory (real
@@ -207,6 +261,7 @@ def main():
         "odometry chain = real geometry + synthetic trajectory "
         "(nebula rosbags unreachable: zero-egress sandbox)",
         "registration_matrix": registration_matrix(),
+        "ndt_matrix": ndt_matrix(),
         "odometry_chain": odometry_chain(num_scans=args.scans),
     }
     text = json.dumps(report, indent=2)
