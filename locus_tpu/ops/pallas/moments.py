@@ -209,7 +209,16 @@ def radius_moments_pallas_comps(
 
 def _moments_to_comps(out: jnp.ndarray):
     """(N,>=10) raw moment columns -> (count, mean comps, cov comps) —
-    all (N,) arrays; no (N,3,3) layouts on the hot path."""
+    all (N,) arrays; no (N,3,3) layouts on the hot path.
+
+    f32 note: the one-pass E[xx^T] - m m^T form carries an absolute
+    error ~eps*|x|^2 (~4e-5 at 20 m sensor range). That is fine HERE:
+    normal-estimation neighborhoods span >= the voxel leaf, so the true
+    variance (>= ~2.5e-3) dominates and the normal direction moves < 1
+    degree. It is NOT fine for NDT voxel Gaussians, whose variance can
+    be 1e-5 — registration/ndt.py uses two-pass centered moments for
+    that reason. If this kernel is ever pointed at world-frame clouds
+    hundreds of meters from the origin, revisit (error grows as |x|^2)."""
     count = out[:, 9]
     denom = jnp.maximum(count, 1.0)
     mx, my, mz = out[:, 0] / denom, out[:, 1] / denom, out[:, 2] / denom
