@@ -245,6 +245,49 @@ def odometry_chain(num_scans=48):
     }
 
 
+def _chain_once(num_scans, **seq_kw):
+    import numpy as np
+
+    from locus_tpu.config import (
+        FilterConfig, FusionConfig, LocusConfig, MapperConfig,
+    )
+    from locus_tpu.metrics import ate_rmse
+    from locus_tpu.runner import run_sequence
+
+    seq = make_garage_sequence(num_scans=num_scans, **seq_kw)
+    cfg = LocusConfig(
+        scan_capacity=2048,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=1500,
+        filtering=FilterConfig(normals_k=16, body_filter=False),
+        mapper=MapperConfig(
+            map_capacity=32768, keyframe_capacity=2048, map_voxel_leaf=0.15
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    poses, outputs, _ = run_sequence(seq, cfg)
+    gt = seq.gt_poses[: poses.shape[0]]
+    errs = np.linalg.norm(poses[:, :3, 3] - gt[:, :3, 3], axis=1)
+    return {
+        "ate_m": round(float(
+            ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False)
+        ), 4),
+        "final_err_m": round(float(errs[-1]), 4),
+    }
+
+
+def chain_robustness(num_scans=32):
+    """Degraded-sensing rows on the same real geometry: heavy noise,
+    heavy dropout, short range (the reference's robustness story is
+    dataset replay under sensor degradation — SURVEY §5.3)."""
+    return {
+        "conditions": f"{num_scans}-scan chains, same real garage geometry",
+        "noise_2cm": _chain_once(num_scans, noise=0.02),
+        "half_returns_40pct": _chain_once(num_scans, keep_frac=0.4),
+        "short_range_18m": _chain_once(num_scans, max_range=18.0),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None)
@@ -263,6 +306,7 @@ def main():
         "registration_matrix": registration_matrix(),
         "ndt_matrix": ndt_matrix(),
         "odometry_chain": odometry_chain(num_scans=args.scans),
+        "odometry_chain_robustness": chain_robustness(),
     }
     text = json.dumps(report, indent=2)
     print(text)
