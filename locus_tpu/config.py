@@ -67,11 +67,13 @@ class RegistrationConfig:
     # "armijo" is the cheaper 5-candidate backtracking variant.
     ndt_line_search: str = "more_thuente"
     # NDT voxel neighborhood (the reference's NeighborSearchMethod,
-    # ndt_omp.h:51: DIRECT1 / DIRECT7 / DIRECT26; KDTREE maps to
-    # "direct7" here — the hashed direct-address lookup subsumes the
-    # kd-tree's radius query at the same 1-voxel reach). Candidate
-    # count is shape-defining: 1, 7, or 27 hashed gathers per point.
-    ndt_neighborhood: str = "direct7"  # "direct1" | "direct7" | "direct26"
+    # ndt_omp.h:51): "direct1" | "direct7" | "direct26" | "kdtree".
+    # KDTREE reproduces the reference's radius search over occupied-leaf
+    # centroids at `ndt_resolution` (voxel_grid_covariance_omp.h:433-449)
+    # as a DIRECT26-style 3x3x3 hashed gather gated by centroid distance
+    # <= resolution. Candidate count is shape-defining: 1, 7, or 27
+    # hashed gathers per point.
+    ndt_neighborhood: str = "direct7"
 
     @staticmethod
     def localization_default() -> "RegistrationConfig":

@@ -315,10 +315,31 @@ def integrate_sensors(
     delta comes from time interpolation between scan stamps instead of
     nearest-sample differencing (requires prev_stamp).
 
-    Branch-free: all three candidate priors are computed and selected by
+    Anchor semantics follow the reference exactly:
+    - The branch choice is HEALTH-only (IsOdomHealthy/IsImuHealthy use
+      reception wall-times, Locus.cc:892-902) — a buffer-lookup miss
+      does NOT fall through the cascade.
+    - The delta anchor (odometry_pose_previous_ / imu_quaternion_
+      previous_) is dropped only when the cascade takes a DIFFERENT
+      branch (Locus.cc:907,915,920-921 reset the *other* received flag)
+      and is retained across a lookup miss while healthy — so the first
+      successful lookup after a miss spans the gap (IntegrateOdom only
+      stores prev on success, Locus.cc:926-947).
+    - On the re-anchor scan (first successful lookup after the flag was
+      reset) the reference returns false and LidarCallback DROPS the
+      scan (Locus.cc:439-443, 935-941). Dropping data would be strictly
+      worse here, so the scan is processed prior-free instead: identity
+      prior, source=PRIOR_NONE, pure_lo=True. The same applies to a
+      lookup-miss scan (reference also drops it, :929-934).
+
+    Branch-free: all candidate priors are computed and selected by
     predicate, so the whole cascade compiles into the jitted step.
     """
     mode = cfg.data_integration_mode
+
+    # -- branch choice: health only (Locus.cc:906,914) ---------------------
+    choose_odom = is_odom_healthy(state, now, cfg) & (mode >= 3)
+    choose_imu = (~choose_odom) & is_imu_healthy(state, now, cfg) & (mode >= 1)
 
     # -- odometry delta ----------------------------------------------------
     oi, o_found = _nearest_in_buffer(
@@ -326,13 +347,18 @@ def integrate_sensors(
     )
     odom_pose = _unpack_pose_row(state.odom.data[oi])
     if cfg.b_integrate_interpolated_odom and prev_stamp is not None:
-        odom_delta, interp_ok = integrate_interpolated_odom(
+        # IntegrateInterpolatedOdom (Locus.cc:949-1015): no buffer
+        # lookup; an unavailable transform degrades to an identity delta
+        # but still counts as an odom prior (:1000-1013 returns true).
+        odom_delta, _interp_ok = integrate_interpolated_odom(
             state, prev_stamp, stamp
         )
-        o_found = o_found & interp_ok
+        o_found = jnp.asarray(True)
+        store_prev = jnp.asarray(False)  # no sample anchor in interp mode
     else:
         odom_delta = se3.pose_delta(state.odom_pose_prev, odom_pose)
-    odom_usable = o_found & state.odom_received
+        store_prev = choose_odom & o_found
+    use_odom = choose_odom & o_found & state.odom_received
 
     # -- imu delta ---------------------------------------------------------
     ii, i_found = _nearest_in_buffer(
@@ -353,18 +379,12 @@ def integrate_sensors(
     R_yaw = se3.yaw_only_matrix(R_full)
     R_imu = R_yaw if mode == 2 else R_full
     imu_prior = se3.make_transform(R_imu, jnp.zeros(3))
-    imu_usable = i_found & state.imu_received
-
-    odom_healthy = is_odom_healthy(state, now, cfg) & o_found
-    imu_healthy = is_imu_healthy(state, now, cfg) & i_found
-
-    use_odom = odom_healthy & (mode >= 3)
-    use_imu = (~use_odom) & imu_healthy & (mode >= 1)
+    use_imu = choose_imu & i_found & state.imu_received
 
     prior = jnp.where(
-        use_odom & odom_usable,
+        use_odom,
         se3.make_transform(se3.rotation(odom_delta), se3.translation(odom_delta)),
-        jnp.where(use_imu & imu_usable, imu_prior, se3.identity()),
+        jnp.where(use_imu, imu_prior, se3.identity()),
     )
     source = jnp.where(
         use_odom,
@@ -373,12 +393,20 @@ def integrate_sensors(
     ).astype(jnp.int32)
     pure_lo = ~(use_odom | use_imu)
 
-    # First-sample anchoring (reference: first reception only stores the
-    # anchor and returns identity, Locus.cc:936-941, 1030-1034).
+    # Anchor updates: prev stored on every successful lookup of the
+    # chosen branch (anchor scan included); the received flag is set by
+    # a successful lookup, retained across a miss, and reset when the
+    # cascade takes another branch (Locus.cc:907,915,920-921).
     new_state = state._replace(
-        odom_pose_prev=jnp.where(use_odom, odom_pose, state.odom_pose_prev),
-        odom_received=jnp.where(use_odom, jnp.asarray(True), state.odom_received & use_odom),
-        imu_quat_prev=jnp.where(use_imu, imu_quat, state.imu_quat_prev),
-        imu_received=jnp.where(use_imu, jnp.asarray(True), state.imu_received & use_imu),
+        odom_pose_prev=jnp.where(store_prev, odom_pose, state.odom_pose_prev),
+        odom_received=jnp.where(
+            choose_odom, state.odom_received | o_found, jnp.asarray(False)
+        ),
+        imu_quat_prev=jnp.where(
+            choose_imu & i_found, imu_quat, state.imu_quat_prev
+        ),
+        imu_received=jnp.where(
+            choose_imu, state.imu_received | i_found, jnp.asarray(False)
+        ),
     )
     return PriorSelection(prior=prior, source=source, pure_lo=pure_lo, state=new_state)

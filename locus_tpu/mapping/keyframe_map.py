@@ -71,11 +71,26 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
     mesh_ax = active_map_mesh()
     if mesh_ax is not None:
         # map point axis sharded over the mesh "map" axis: shard-local
-        # 1-NN + all_gather merge (parallel/sharded_map.py), radius
-        # bound applied to the merged result
-        from locus_tpu.parallel.sharded_map import sharded_nearest
+        # 1-NN + all_gather merge (parallel/sharded_map.py). When each
+        # shard tiles into whole BT chunks, the shard-local search is
+        # the SAME bbox-pruned Pallas kernel as the single-device path
+        # (cached nn_aug/chunk boxes, sharded with the state); otherwise
+        # the XLA distance-matrix fallback.
+        from locus_tpu.parallel.sharded_map import (
+            pallas_shardable,
+            sharded_nearest,
+            sharded_nearest_pallas,
+        )
 
         mesh, axis = mesh_ax
+        if (
+            pallas_shardable(mesh, state.cloud.capacity, axis)
+            and query_xyz.shape[0] >= 128
+        ):
+            return sharded_nearest_pallas(
+                mesh, query_xyz, state.cloud.xyz, state.nn_aug,
+                state.chunk_min, state.chunk_max, radius, axis=axis,
+            )
         d2, idx = sharded_nearest(mesh, query_xyz, state.cloud.xyz, axis=axis)
         return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
 

@@ -48,6 +48,13 @@ BQ = 256      # query tile (grid dim)
 # per-visit loop overhead beats the extra pruning, so 2048 stays.
 # Env override for experiments.
 BT = int(os.environ.get("LOCUS_NN_BT", "2048"))
+if BT <= 0 or BT % 128 != 0:
+    # the kernel bodies iterate range(BT // 128) and pad targets to BT
+    # multiples — a non-multiple-of-128 override would silently skip the
+    # tail of every target chunk (wrong nearest neighbors, no error)
+    raise ValueError(
+        f"LOCUS_NN_BT must be a positive multiple of 128, got {BT}"
+    )
 AUG = 8       # augmented K dim
 
 

@@ -32,6 +32,36 @@ def init_distributed(
     return jax.process_count() > 1
 
 
+def make_global(mesh, tree, shardings):
+    """Build GLOBAL (possibly non-addressable) device arrays from
+    host-replicated data: every process holds the same host values (the
+    replay inputs are deterministic), and each contributes exactly its
+    addressable shards. The multi-process analog of device_put-with-
+    sharding (which requires addressability of every shard)."""
+    import numpy as np
+
+    def one(x, sh):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(one, tree, shardings)
+
+
+def fetch_replicated(x):
+    """Host-fetch a jitted output in a multi-process run by forcing it
+    fully-replicated first (every process then owns a full copy)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = x.sharding
+    mesh = getattr(sharding, "mesh", None)
+    if mesh is not None and jax.process_count() > 1:
+        x = jax.jit(
+            lambda v: v, out_shardings=NamedSharding(mesh, P())
+        )(x)
+    return np.asarray(x.addressable_data(0))
+
+
 def local_batch_slice(mesh, batch_size: int):
     """Which batch (sequence) indices this host feeds: the slice of the
     "data" axis whose devices are process-local."""

@@ -58,14 +58,34 @@ def single_state_shardings(mesh: Mesh, state, map_capacity: int):
     """Shardings for an UNBATCHED LocusState: the map point axis
     (leading dim == map_capacity) over "map", everything else
     replicated — the explicit-collective single-sequence deployment
-    (runner.make_scan_replay(mesh=...))."""
+    (runner.make_scan_replay(mesh=...)).
 
-    def spec(x):
+    The map's cached NN operands are sharded along their point-derived
+    axes too (nn_aug (AUG, m_pad) over columns; chunk_min/chunk_max
+    (C, 3) over rows) so the per-shard Pallas kernel
+    (parallel/sharded_map.sharded_nearest_pallas) reads only local
+    cache — identified by MapState field name, not shape, to avoid
+    misfiring on unrelated leaves."""
+
+    from locus_tpu.parallel.sharded_map import pallas_shardable
+
+    cache_sharded = pallas_shardable(mesh, map_capacity, "map")
+
+    def spec(path, x):
+        name = None
+        for entry in reversed(path):
+            if isinstance(entry, jax.tree_util.GetAttrKey):
+                name = entry.name
+                break
+        if cache_sharded and name == "nn_aug" and x.ndim == 2:
+            return NamedSharding(mesh, P(None, "map"))
+        if cache_sharded and name in ("chunk_min", "chunk_max") and x.ndim == 2:
+            return NamedSharding(mesh, P("map"))
         if x.ndim >= 1 and x.shape[0] == map_capacity:
             return NamedSharding(mesh, P("map"))
         return NamedSharding(mesh, P())
 
-    return jax.tree_util.tree_map(spec, state)
+    return jax.tree_util.tree_map_with_path(spec, state)
 
 
 def batch_shardings(mesh: Mesh, tree):

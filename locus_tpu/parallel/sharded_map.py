@@ -9,8 +9,15 @@ threads / SURVEY §5.7). A kNN query then becomes:
 
 which rides ICI with k*|query| traffic instead of gathering whole map
 shards. XLA/GSPMD can derive this from sharding annotations on argmin,
-but the explicit shard_map version pins the communication pattern (and
-is the template the Pallas ring kernel can later replace).
+but the explicit shard_map version pins the communication pattern.
+
+Inside shard_map shapes are shard-local and static, so the shard-local
+1-NN runs the SAME bbox-pruned Pallas kernel as the single-device map
+path (sharded_nearest_pallas) — the hot loop the kernel replaces
+(multithreaded_gicp/gicp.hpp:463-498) stays fast exactly in the big-map
+multi-chip deployment the sharding exists for. The XLA variant
+(sharded_knn) remains for k>1 and for shard sizes the kernel's BT
+chunking cannot tile.
 """
 from __future__ import annotations
 
@@ -61,3 +68,69 @@ def sharded_knn(
 def sharded_nearest(mesh: Mesh, query, map_xyz, axis: str = "map"):
     d2, idx = sharded_knn(mesh, query, map_xyz, k=1, axis=axis)
     return d2[:, 0], idx[:, 0]
+
+
+def pallas_shardable(mesh: Mesh, capacity: int, axis: str = "map") -> bool:
+    """True when the map point axis can be sharded over `axis` with each
+    shard a whole number of Pallas target chunks (the kernel tiles the
+    target in BT-point chunks; ops/pallas/nn.py)."""
+    from locus_tpu.ops.pallas.nn import BT
+
+    shards = mesh.shape[axis]
+    return capacity % (shards * BT) == 0
+
+
+def sharded_nearest_pallas(
+    mesh: Mesh,
+    query: jnp.ndarray,      # (N,3) replicated
+    map_xyz: jnp.ndarray,    # (M,3) sharded over `axis`
+    nn_aug: jnp.ndarray,     # (AUG, M) cached operand, sharded over axis 1
+    c_min: jnp.ndarray,      # (C,3) cached chunk boxes, sharded over axis 0
+    c_max: jnp.ndarray,
+    radius: float = 2.0,
+    axis: str = "map",
+    interpret: bool | None = None,
+):
+    """Radius-bounded exact 1-NN against a sharded map using the Pallas
+    bbox-pruned kernel PER SHARD (ops/pallas/nn.py
+    nearest_pallas_bounded_pre), then an all_gather-of-winners merge.
+
+    Per-query ICI traffic is shards * 8 bytes (one f32 d2 + one int32
+    idx per shard) — independent of map size. Queries whose true nearest
+    neighbor is beyond `radius` come back d2=inf (consumers gate far
+    hits; same contract as the single-device bounded kernel).
+
+    `interpret`: run the kernel in interpreter mode (default: on for the
+    CPU backend — the virtual-mesh tests — off on TPU). Requires
+    pallas_shardable(mesh, M, axis)."""
+    from locus_tpu.ops.pallas import nn as nn_pallas
+
+    shards = mesh.shape[axis]
+    m = map_xyz.shape[0]
+    assert m % shards == 0, (m, shards)
+    assert nn_aug.shape[1] == m, (nn_aug.shape, m)
+    local_m = m // shards
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    def local_nn(q, xyz_l, aug_l, cmin_l, cmax_l):
+        d2, idx = nn_pallas.nearest_pallas_bounded_pre(
+            q, aug_l, xyz_l, cmin_l, cmax_l, radius, interpret=interpret
+        )
+        shard_id = jax.lax.axis_index(axis)
+        gidx = idx + shard_id * local_m
+        all_d2 = jax.lax.all_gather(d2, axis)    # (shards, N)
+        all_idx = jax.lax.all_gather(gidx, axis)
+        best = jnp.argmin(all_d2, axis=0)        # (N,)
+        d2_best = jnp.take_along_axis(all_d2, best[None], axis=0)[0]
+        idx_best = jnp.take_along_axis(all_idx, best[None], axis=0)[0]
+        return d2_best, idx_best
+
+    fn = jax.shard_map(
+        local_nn,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(None, axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(query, map_xyz, nn_aug, c_min, c_max)

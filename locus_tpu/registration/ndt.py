@@ -218,6 +218,12 @@ def _mt_trial_value(a_l, f_l, g_l, a_u, f_u, g_u, a_t, f_t, g_t):
     # cubic interpolating the (a_u, f_u, g_u), (a_t, f_t, g_t) pair (case 4)
     z4 = 3.0 * safe_div(f_t - f_u, a_t - a_u) - g_t - g_u
     w4 = jnp.sqrt(jnp.maximum(z4 * z4 - g_t * g_u, 0.0))
+    # DELIBERATE deviation from the reference: trialValueSelectionMT's
+    # case 4 (ndt_omp_impl.hpp:875-882) always takes +w, but eq. 2.4.56
+    # assumes the interpolation endpoints are ordered; when a_t < a_u
+    # the one-sided +w root lands on the cubic's MAXIMIZER. Flipping the
+    # root sign for that ordering selects the minimizer in both
+    # orientations (verified by the scalar-objective unit test).
     w4 = jnp.where(a_t < a_u, -w4, w4)
     a_c4 = a_u + (a_t - a_u) * safe_div(w4 - g_u - z4, g_t - g_u + 2.0 * w4)
     a_c4 = jnp.where(jnp.abs(a_t - a_u) < eps, a_t, a_c4)
@@ -368,7 +374,11 @@ def _newton_step_comps(p_cur, mu, M, w_gate, gauss_d1, gauss_d2, lm, step_size,
     rz = pz - mu[:, 2]
     Br = _sym3_vec(M, rx, ry, rz)
     m = rx * Br[0] + ry * Br[1] + rz * Br[2]
-    e = jnp.exp(-0.5 * gauss_d2 * jnp.clip(m, 0.0, 50.0))
+    # A negative Mahalanobis can only come from a numerically indefinite
+    # voxel icov — the reference REJECTS such contributions entirely
+    # (computeDerivatives drops e_x_cov_x > 1, ndt_omp_impl.hpp:368-374);
+    # zeroing (not clamping) keeps a pathological voxel from dominating.
+    e = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(m, 50.0)) * (m >= 0.0)
     c = jnp.maximum(-gauss_d1, 1e-12) * gauss_d2 * e * w_gate  # (N,) >= 0
 
     # u = J^T B r = [Br ; p x Br]
@@ -532,17 +542,19 @@ def ndt_register(
     # reference default), or the full 3x3x3 block (DIRECT26). Each
     # candidate is ONE hashed gather into the direct-address table
     # instead of the (N,V) distance matrix + top-k a spatial kNN needs.
+    # KDTREE gating: the reference's KDTREE mode radius-searches the
+    # OCCUPIED-LEAF CENTROID cloud within `resolution_` of the query
+    # (ndt_omp_impl.hpp:280-284; voxel_grid_covariance_omp.h:433-449
+    # builds the kd-tree over leaf centroids). A centroid lies inside
+    # its own voxel, so any leaf whose centroid is within one resolution
+    # of a query point must be one of the query voxel's 3x3x3 block —
+    # the DIRECT26 gather reaches every candidate, and one centroid-
+    # distance compare per candidate reproduces the radius gate exactly
+    # (including the corner-diagonal leaves DIRECT7 cannot see).
+    kdtree_gate = cfg.ndt_neighborhood == "kdtree"
     if cfg.ndt_neighborhood == "direct1":
         offs = [[0, 0, 0]]
-    elif cfg.ndt_neighborhood == "kdtree":
-        # The reference's KDTREE mode radius-searches the leaf centers at
-        # the voxel resolution (ndt_omp_impl.hpp:277-284) — within one
-        # resolution of the query, which is exactly the face-neighbor
-        # reach; the hashed DIRECT7 table answers the same query without
-        # the tree, so KDTREE aliases to it.
-        offs = [[0, 0, 0], [1, 0, 0], [-1, 0, 0],
-                [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
-    elif cfg.ndt_neighborhood == "direct26":
+    elif cfg.ndt_neighborhood in ("direct26", "kdtree"):
         offs = [
             [i, j, k]
             for i in (0, -1, 1)
@@ -554,7 +566,7 @@ def ndt_register(
                 [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]]
     else:
         raise ValueError(
-            f"ndt_neighborhood must be direct1|direct7|direct26, "
+            f"ndt_neighborhood must be direct1|direct7|direct26|kdtree, "
             f"got {cfg.ndt_neighborhood!r}"
         )
     OFFS = jnp.asarray(offs, jnp.int32)
@@ -576,16 +588,27 @@ def ndt_register(
         jf, hit = direct7(p)
         pf = jnp.repeat(p, K, axis=0)                     # (N*K,3)
         maskf = jnp.repeat(source.mask, K)
-        w_gate = (maskf & hit).astype(jnp.float32)
 
         # zero-residual placeholder for misses keeps intermediates tame
         mu = jnp.where(hit[:, None], targets.means[jf], pf)
+        if kdtree_gate:
+            # reference KDTREE: leaf participates iff its centroid is
+            # within `resolution` of the transformed point (the kd-tree
+            # radius query over voxel_centroids_); misses have mu == pf
+            # (d2 = 0) but are already false in `hit`
+            dmu = pf - mu
+            hit = hit & (jnp.sum(dmu * dmu, axis=1) <= res * res)
+        w_gate = (maskf & hit).astype(jnp.float32)
         icov6 = targets.icov6[jf]                         # (N*K,6) gather
         M = tuple(icov6[:, i] for i in range(6))
         r = pf - mu
         Br = _sym3_vec(M, r[:, 0], r[:, 1], r[:, 2])
         maha = r[:, 0] * Br[0] + r[:, 1] * Br[1] + r[:, 2] * Br[2]
-        w_score = jnp.exp(-0.5 * gauss_d2 * jnp.clip(maha, 0.0, 50.0))
+        # negative maha = indefinite icov: reject (reference drops
+        # e_x_cov_x > 1, ndt_omp_impl.hpp:368-374), never up-weight
+        w_score = jnp.exp(-0.5 * gauss_d2 * jnp.minimum(maha, 50.0)) * (
+            maha >= 0.0
+        )
         w = w_gate * w_score
 
         src0f = jnp.repeat(src0, K, axis=0)

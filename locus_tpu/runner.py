@@ -131,8 +131,12 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
     from locus_tpu.ops.dispatch import map_mesh, no_pallas
 
     def replay(state, packed):
-        # pallas kernels would force the map shards to gather; the
-        # sharded path uses the XLA kernels + explicit collectives
+        # The map 1-NN routes through parallel/sharded_map: shard-local
+        # Pallas bounded kernel inside shard_map (interpret on CPU
+        # meshes) + all_gather merge — the hot big-map kernel stays fast
+        # when sharded. no_pallas() applies only to the remaining
+        # SCAN-local kernels (GICP correspondences, moments), whose
+        # replicated pallas_calls GSPMD would otherwise have to wrap.
         with map_mesh(mesh), no_pallas():
             return _replay(state, packed)
 

@@ -49,9 +49,11 @@ def test_cascade_prefers_odom():
     st = fusion.push_imu(st, 0.95, quat_yaw(0.1), wall_time=0.95)
     st = fusion.push_odom(st, 0.9, pose_x(1.0), wall_time=0.9)
     st = fusion.push_odom(st, 1.0, pose_x(1.5), wall_time=1.0)
-    # anchor (first selection returns identity prior)
+    # anchor scan: identity prior, reported prior-free (the reference
+    # returns false and drops the scan, Locus.cc:935-941)
     sel = fusion.integrate_sensors(st, 0.9, 1.0, cfg)
-    assert int(sel.source) == fusion.PRIOR_ODOM
+    assert int(sel.source) == fusion.PRIOR_NONE
+    np.testing.assert_allclose(np.asarray(sel.prior), np.eye(4), atol=1e-6)
     st = sel.state
     sel = fusion.integrate_sensors(st, 1.0, 1.05, cfg)
     assert int(sel.source) == fusion.PRIOR_ODOM
@@ -64,9 +66,9 @@ def test_cascade_falls_back_to_imu_then_pure_lo():
     st = fusion.init_state(cfg)
     st = fusion.push_imu(st, 0.0, quat_yaw(0.0), wall_time=0.0)
     st = fusion.push_imu(st, 0.1, quat_yaw(0.2), wall_time=0.1)
-    # no odom at all -> IMU (after anchoring)
+    # no odom at all -> IMU branch; first call only anchors (PRIOR_NONE)
     sel = fusion.integrate_sensors(st, 0.0, 0.1, cfg)
-    assert int(sel.source) == fusion.PRIOR_IMU
+    assert int(sel.source) == fusion.PRIOR_NONE
     st = sel.state
     sel = fusion.integrate_sensors(st, 0.1, 0.15, cfg)
     assert int(sel.source) == fusion.PRIOR_IMU
@@ -106,6 +108,73 @@ def test_yaw_only_mode():
     r, p, y = se3.matrix_to_euler_zyx(jnp.asarray(R))
     assert abs(float(r)) < 1e-5 and abs(float(p)) < 1e-5
     assert abs(float(y) - 0.3) < 0.02
+
+
+def test_odom_outage_reanchor_semantics():
+    """Outage -> resume pins the reference's anchor behavior: a cascade
+    switch (odom unhealthy -> pure LO) resets the anchor (Locus.cc:920),
+    so the first scan after resurrection is processed prior-free
+    (PRIOR_NONE + identity — the reference drops that scan, :439-443,
+    :935-941) and the next scan's delta spans only the post-resume
+    interval, not the outage gap."""
+    cfg = FusionConfig(data_integration_mode=3, sensor_health_timeout=0.4)
+    st = fusion.init_state(cfg)
+    st = fusion.push_odom(st, 0.0, pose_x(0.0), wall_time=0.0)
+    sel = fusion.integrate_sensors(st, 0.0, 0.0, cfg)      # anchor
+    assert int(sel.source) == fusion.PRIOR_NONE
+    st = fusion.push_odom(sel.state, 0.1, pose_x(0.5), wall_time=0.1)
+    sel = fusion.integrate_sensors(st, 0.1, 0.1, cfg)      # normal use
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    np.testing.assert_allclose(
+        np.asarray(se3.translation(sel.prior)), [0.5, 0, 0], atol=1e-5
+    )
+    # outage: no odom for > sensor_health_timeout -> pure LO, anchor reset
+    sel = fusion.integrate_sensors(sel.state, 1.0, 1.0, cfg)
+    assert bool(sel.pure_lo) and int(sel.source) == fusion.PRIOR_NONE
+    # resurrection: robot meanwhile moved to x=3.0
+    st = fusion.push_odom(sel.state, 1.5, pose_x(3.0), wall_time=1.5)
+    sel = fusion.integrate_sensors(st, 1.5, 1.5, cfg)      # re-anchor scan
+    assert int(sel.source) == fusion.PRIOR_NONE
+    assert bool(sel.pure_lo)
+    np.testing.assert_allclose(np.asarray(sel.prior), np.eye(4), atol=1e-6)
+    # next scan: delta spans only 1.5 -> 1.6, NOT the outage gap
+    st = fusion.push_odom(sel.state, 1.6, pose_x(3.2), wall_time=1.6)
+    sel = fusion.integrate_sensors(st, 1.6, 1.6, cfg)
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    np.testing.assert_allclose(
+        np.asarray(se3.translation(sel.prior)), [0.2, 0, 0], atol=1e-5
+    )
+
+
+def test_odom_lookup_miss_spans_gap():
+    """A buffer-lookup miss while the sensor stays HEALTHY retains the
+    anchor (IntegrateOdom stores prev only on success, Locus.cc:926-947,
+    and does not fall through the cascade), so the next successful
+    lookup's delta spans the missed interval."""
+    cfg = FusionConfig(
+        data_integration_mode=3,
+        sensor_health_timeout=0.4,
+        max_buffer_staleness=0.1,
+    )
+    st = fusion.init_state(cfg)
+    st = fusion.push_odom(st, 0.0, pose_x(0.0), wall_time=0.0)
+    sel = fusion.integrate_sensors(st, 0.0, 0.0, cfg)      # anchor
+    st = fusion.push_odom(sel.state, 0.1, pose_x(0.5), wall_time=0.1)
+    sel = fusion.integrate_sensors(st, 0.1, 0.1, cfg)
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    # scan at 0.3: nearest sample (0.1) is 0.2 stale > 0.1 -> lookup
+    # miss; reception (wall 0.25, e.g. a delayed relay) keeps it healthy
+    st = fusion.push_odom(sel.state, 0.1, pose_x(0.5), wall_time=0.25)
+    sel = fusion.integrate_sensors(st, 0.3, 0.3, cfg)
+    assert int(sel.source) == fusion.PRIOR_NONE            # miss scan
+    assert bool(sel.pure_lo)
+    # sample arrives for 0.4: delta spans 0.1 -> 0.4 (the whole gap)
+    st = fusion.push_odom(sel.state, 0.4, pose_x(1.7), wall_time=0.4)
+    sel = fusion.integrate_sensors(st, 0.4, 0.4, cfg)
+    assert int(sel.source) == fusion.PRIOR_ODOM
+    np.testing.assert_allclose(
+        np.asarray(se3.translation(sel.prior)), [1.2, 0, 0], atol=1e-5
+    )
 
 
 def test_batch_push_ignores_padding():

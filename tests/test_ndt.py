@@ -14,6 +14,10 @@ def room_cloud(capacity=2048, jitter=0.01, seed=0, side=4.0, step=0.15):
     return PointCloud.from_points(xyz, capacity=capacity, normals=nrm)
 
 
+def cloud_from_xyz(xyz, capacity=256):
+    return PointCloud.from_points(jnp.asarray(xyz, jnp.float32), capacity=capacity)
+
+
 def test_build_targets_statistics():
     pc = room_cloud(jitter=0.0)
     t = build_ndt_targets(pc, resolution=1.0, min_points_per_voxel=4)
@@ -128,17 +132,12 @@ def test_ndt_neighborhood_modes():
     base = RegistrationConfig(
         registration_method="ndt", ndt_resolution=1.0, iterations=30
     )
-    ncorr = {}
-    for mode in ("direct1", "direct7", "direct26"):
+    for mode in ("direct1", "direct7", "direct26", "kdtree"):
         cfg = dataclasses.replace(base, ndt_neighborhood=mode)
         res = ndt_register(src, tgt, cfg=cfg)
         t = np.asarray(se3.translation(res.transform))
         np.testing.assert_allclose(t, np.asarray(shift), atol=0.05,
                                    err_msg=mode)
-        ncorr[mode] = int(res.num_correspondences)
-    # the matched-count metric is the final 1-NN pass (mode-independent),
-    # so instead assert the wider modes converge in <= iterations and the
-    # unknown mode is rejected
     import pytest
 
     with pytest.raises(ValueError):
@@ -146,6 +145,47 @@ def test_ndt_neighborhood_modes():
             src, tgt,
             cfg=dataclasses.replace(base, ndt_neighborhood="direct99"),
         )
+
+
+def test_ndt_kdtree_reaches_corner_diagonal_leaf():
+    """True KDTREE parity (voxel_grid_covariance_omp.h:433-449 +
+    ndt_omp_impl.hpp:280-284): the reference radius-searches occupied-
+    leaf CENTROIDS at `resolution_`, which for a near-corner query
+    reaches the corner-DIAGONAL leaf that DIRECT7's face-neighbor set
+    cannot see. Target clusters sit just inside voxel corners; source
+    points sit diagonally across the corner in another voxel. DIRECT7
+    finds no component (no gradient, stays at identity); KDTREE matches
+    the diagonal leaves and recovers the offset."""
+    import dataclasses
+
+    rng = np.random.default_rng(11)
+    # clusters near the low corners of voxels (1,1,1),(4,1,1),(1,4,1),
+    # (1,1,4): centroids ~(0.173 m) from the diagonal query points
+    corners = np.array(
+        [[1.0, 1.0, 1.0], [4.0, 1.0, 1.0], [1.0, 4.0, 1.0], [1.0, 1.0, 4.0]]
+    )
+    pts = np.concatenate(
+        [c + 0.05 + rng.uniform(0, 0.08, (24, 3)) for c in corners]
+    ).astype(np.float32)
+    tgt = cloud_from_xyz(pts)
+    shift = np.array([0.18, 0.18, 0.18], np.float32)
+    src = cloud_from_xyz(pts - shift)  # sources at ~x.87: other voxel
+
+    base = RegistrationConfig(
+        registration_method="ndt", ndt_resolution=1.0, iterations=30
+    )
+    res_kd = ndt_register(
+        src, tgt, cfg=dataclasses.replace(base, ndt_neighborhood="kdtree")
+    )
+    np.testing.assert_allclose(
+        np.asarray(se3.translation(res_kd.transform)), shift, atol=0.05
+    )
+    # DIRECT7 cannot see the diagonal leaves: no matched component, the
+    # optimizer has zero gradient and must stay (essentially) at identity
+    res_d7 = ndt_register(
+        src, tgt, cfg=dataclasses.replace(base, ndt_neighborhood="direct7")
+    )
+    assert float(jnp.linalg.norm(se3.translation(res_d7.transform))) < 0.02
 
 
 def test_ndt_more_thuente_line_search():

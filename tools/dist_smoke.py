@@ -1,17 +1,29 @@
 #!/usr/bin/env python3
-"""Multi-process (multi-host analog) smoke test for the jax.distributed
-backend (SURVEY §5.8): N CPU processes form one global mesh, run a
-cross-process collective reduction, and verify the host-role feeding
-logic (parallel/distributed.local_batch_slice).
+"""Multi-process (multi-host analog) smoke tests for the jax.distributed
+backend (SURVEY §5.8): N CPU processes form one global mesh and run
+
+  --mode sum       a cross-process collective reduction + host-role
+                   feeding logic check (the original smoke), or
+  --mode pipeline  the ACTUAL production replay: a single-sequence
+                   scan replay with the map point store sharded ACROSS
+                   the two processes (global ("data","map") mesh,
+                   per-shard Pallas map 1-NN in interpret mode on CPU),
+                   asserted equal to the single-process trajectory.
+
+The reference is a multi-process system end-to-end (nodelets + nodes,
+locus/launch/locus.launch:145-186); this is the jax.distributed analog
+obligation — the registered pipeline program itself executing across
+process boundaries with its map collectives riding the cross-process
+transport.
 
 Run one process per "host":
   python tools/dist_smoke.py --coordinator 127.0.0.1:9876 \
-      --num-processes 2 --process-id 0 &
+      --num-processes 2 --process-id 0 --mode pipeline &
   python tools/dist_smoke.py --coordinator 127.0.0.1:9876 \
-      --num-processes 2 --process-id 1
+      --num-processes 2 --process-id 1 --mode pipeline
 
 Prints one JSON line on success (process 0) — consumed by
-tests/test_parallel.py::test_two_process_distributed_smoke.
+tests/test_parallel.py.
 """
 import argparse
 import json
@@ -19,31 +31,111 @@ import json
 import _pathsetup  # noqa: F401
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--coordinator", required=True)
-    ap.add_argument("--num-processes", type=int, required=True)
-    ap.add_argument("--process-id", type=int, required=True)
-    args = ap.parse_args()
-
-    import jax
-
-    # the dev-box sitecustomize forces the remote TPU platform; this
-    # smoke runs strictly on per-process CPU devices
-    jax.config.update("jax_platforms", "cpu")
-
-    from locus_tpu.parallel.distributed import init_distributed, local_batch_slice
-
-    active = init_distributed(
-        coordinator_address=args.coordinator,
-        num_processes=args.num_processes,
-        process_id=args.process_id,
+def tiny_pipeline_config():
+    """Small-but-real replay config: Pallas-shardable map (2 procs x one
+    BT chunk), GICP both stages, keyframes + MSW active."""
+    from locus_tpu.config import (
+        FilterConfig,
+        FusionConfig,
+        LocusConfig,
+        MapperConfig,
     )
-    assert active, "multi-process runtime failed to come up"
-    assert jax.process_count() == args.num_processes
 
+    return LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=220,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(
+            map_capacity=4096, keyframe_capacity=256, map_voxel_leaf=0.1
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+
+
+def run_pipeline_mode(args):
+    """Single-sequence replay, map sharded across the processes."""
+    import jax
+    import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from locus_tpu import pipeline
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel import mesh as mesh_lib
+    from locus_tpu.parallel.distributed import fetch_replicated, make_global
+    from locus_tpu.parallel.sharded_map import pallas_shardable
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    cfg = tiny_pipeline_config()
+    seq = make_tunnel_sequence(num_scans=8, azimuth_steps=128, step=0.35, seed=5)
+    packed = jax.tree_util.tree_map(np.asarray, pack_sequence(seq, cfg))
+
+    def fresh_host_state():
+        st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(np.asarray, st)
+
+    # ---- single-process reference on this process's local device ------
+    ref_replay = make_scan_replay(cfg)
+    st_local = jax.tree_util.tree_map(jnp.asarray, fresh_host_state())
+    _, (poses_ref, _, sizes_ref) = ref_replay(st_local, packed)
+    poses_ref = np.asarray(poses_ref)
+    sizes_ref = np.asarray(sizes_ref)
+
+    # ---- global mesh: map axis spans the PROCESSES --------------------
+    n = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()).reshape(1, n), ("data", "map"))
+    assert pallas_shardable(mesh, cfg.mapper.map_capacity, "map"), (
+        cfg.mapper.map_capacity,
+        n,
+    )
+    host_state = fresh_host_state()
+    shardings = mesh_lib.single_state_shardings(
+        mesh, host_state, cfg.mapper.map_capacity
+    )
+    gstate = make_global(mesh, host_state, shardings)
+    gpacked = make_global(
+        mesh,
+        packed,
+        jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), packed
+        ),
+    )
+    sh_replay = make_scan_replay(cfg, mesh=mesh)
+    _, (poses_sh, _, sizes_sh) = sh_replay(gstate, gpacked)
+    poses_sh = fetch_replicated(poses_sh)
+    sizes_sh = fetch_replicated(sizes_sh)
+
+    pose_err = float(np.max(np.abs(poses_sh - poses_ref)))
+    sizes_equal = bool(np.array_equal(sizes_sh, sizes_ref))
+    assert pose_err < 1e-4, pose_err
+    assert sizes_equal, (sizes_sh, sizes_ref)
+    # the sharded run must actually have exercised the map (keyframes in)
+    assert int(sizes_sh[-1]) > 0, sizes_sh
+
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "mode": "pipeline",
+                    "processes": jax.process_count(),
+                    "global_devices": n,
+                    "scans": int(poses_sh.shape[0]),
+                    "map_shards_across_processes": int(mesh.shape["map"]),
+                    "max_pose_err_vs_single_process": pose_err,
+                    "map_sizes_equal": sizes_equal,
+                    "final_map_size": int(sizes_sh[-1]),
+                }
+            )
+        )
+
+
+def run_sum_mode(args):
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from locus_tpu.parallel.distributed import local_batch_slice
 
     n = jax.device_count()
     assert n >= args.num_processes, (n, args.num_processes)
@@ -77,11 +169,42 @@ def main():
 
     if jax.process_index() == 0:
         print(json.dumps({
+            "mode": "sum",
             "processes": jax.process_count(),
             "global_devices": n,
             "collective_sum": got,
             "local_batch_slice": owned,
         }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--coordinator", required=True)
+    ap.add_argument("--num-processes", type=int, required=True)
+    ap.add_argument("--process-id", type=int, required=True)
+    ap.add_argument("--mode", choices=("sum", "pipeline"), default="sum")
+    args = ap.parse_args()
+
+    import jax
+
+    # the dev-box sitecustomize forces the remote TPU platform; this
+    # smoke runs strictly on per-process CPU devices
+    jax.config.update("jax_platforms", "cpu")
+
+    from locus_tpu.parallel.distributed import init_distributed
+
+    active = init_distributed(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert active, "multi-process runtime failed to come up"
+    assert jax.process_count() == args.num_processes
+
+    if args.mode == "pipeline":
+        run_pipeline_mode(args)
+    else:
+        run_sum_mode(args)
 
 
 if __name__ == "__main__":
