@@ -59,6 +59,17 @@ class RegistrationConfig:
     # Newton-direction + line-search scheme (ndt_omp_impl.hpp
     # computeDerivatives/computeStepLengthMT) on the SE(3) tangent.
     ndt_optimizer: str = "irls"
+    # IRLS warm-start iterations for the "newton" optimizer (0 = pure
+    # reference scheme). The reference's Newton+Moré–Thuente step is
+    # clamped to ndt_step_size along a normalized direction and declares
+    # convergence when the accepted step drops under tf_epsilon — from a
+    # far initial basin it stalls on a score plateau (measured on the
+    # real garage pair: consistency 0.16–0.27 vs the GICP alignment).
+    # Its production use survives because priors keep it near the
+    # optimum; here a couple of full-GN IRLS iterations on the same
+    # objective reach the basin first (a deliberate robustness addition
+    # over ndt_omp_impl.hpp:888-1060's raw scheme).
+    ndt_newton_warmstart: int = 2
     # Line search for the "newton" optimizer: "more_thuente" runs the
     # reference's Moré–Thuente interval machine (computeStepLengthMT,
     # ndt_omp_impl.hpp:888-1060: mu=1e-4, nu=0.9, <=10 trials,

@@ -29,6 +29,7 @@ transform-delta test as GICP.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -532,10 +533,6 @@ def ndt_register(
     src0 = se3.transform_points(guess, source.xyz)
     src0 = jnp.where(source.mask[:, None], src0, source.xyz)
 
-    def outer_cond(carry):
-        T, it, delta, _, _ = carry
-        return (it < cfg.iterations) & (delta >= 1.0)
-
     # DIRECT-mode component lookup (the reference's NeighborSearchMethod,
     # ndt_omp.h:51): each point contributes to a fixed voxel neighborhood
     # — its own voxel (DIRECT1), + 6 face neighbors (DIRECT7, the
@@ -582,7 +579,10 @@ def ndt_register(
         hit = (targets.slot_keys[slot] == flat) & targets.valid[idx]
         return idx, hit
 
-    def outer_body(carry):
+    def make_outer_body(use_newton):
+        return partial(_outer_body_impl, use_newton)
+
+    def _outer_body_impl(use_newton, carry):
         T, it, _, _, _ = carry
         p = se3.transform_points(T, src0)
         jf, hit = direct7(p)
@@ -613,7 +613,7 @@ def ndt_register(
 
         src0f = jnp.repeat(src0, K, axis=0)
 
-        if cfg.ndt_optimizer == "newton":
+        if use_newton:
             # Reference scheme: one Newton direction + line search per
             # outer iteration (computeDerivatives + computeStepLengthMT).
             p_cur = se3.transform_points(T, src0f)
@@ -655,7 +655,40 @@ def ndt_register(
         jnp.asarray(jnp.inf, jnp.float32),
         jnp.asarray(0, jnp.int32),
     )
-    T_fin, iters, delta, fitness, ncorr = lax.while_loop(outer_cond, outer_body, init)
+
+    def cond_until(max_it):
+        def cond(carry):
+            _, it, delta, _, _ = carry
+            return (it < max_it) & (delta >= 1.0)
+
+        return cond
+
+    use_newton = cfg.ndt_optimizer == "newton"
+    if use_newton and cfg.ndt_newton_warmstart > 0:
+        # IRLS warm start for the reference-scheme optimizer: the Newton
+        # + Moré–Thuente step is clamped to ndt_step_size (0.1 m) along a
+        # normalized direction and declares convergence when the accepted
+        # step drops under tf_epsilon — from a far basin (e.g. the 0.26
+        # perturbation of the real-garage battery) it stalls at a
+        # sub-optimal score plateau the reference only avoids because its
+        # production priors keep it near the optimum. A couple of IRLS
+        # outer iterations (full GN steps on the same weighted objective,
+        # same correspondence machinery) move T into the quadratic basin;
+        # Newton+MT then polishes with the reference's exact scheme.
+        warm = min(cfg.ndt_newton_warmstart, cfg.iterations)
+        carry = lax.while_loop(cond_until(warm), make_outer_body(False), init)
+        carry = (
+            carry[0], carry[1],
+            jnp.asarray(jnp.inf, jnp.float32),   # re-open convergence
+            carry[3], carry[4],
+        )
+        T_fin, iters, delta, fitness, ncorr = lax.while_loop(
+            cond_until(cfg.iterations), make_outer_body(True), carry
+        )
+    else:
+        T_fin, iters, delta, fitness, ncorr = lax.while_loop(
+            cond_until(cfg.iterations), make_outer_body(use_newton), init
+        )
 
     final = se3.compose(T_fin, guess)
     # Final correspondence pass against the raw target points, for the

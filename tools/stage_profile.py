@@ -32,6 +32,12 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--reps", type=int, default=32)
     ap.add_argument("--scans", type=int, default=24, help="warmup replay length")
+    ap.add_argument(
+        "--batch", nargs="*", type=int, default=[],
+        help="also profile the VMAPPED per-stage programs at these batch "
+        "sizes (the batched multi-sequence replay's compute structure — "
+        "VERDICT r2 weak #2: where does the B>1 wall-clock go?)",
+    )
     args = ap.parse_args()
 
     if args.cpu:
@@ -325,6 +331,118 @@ def main():
         "other_ms": round((results["full_step"] - accounted) * 1e3, 3),
         **iters,
     }
+
+    # ---- achieved-FLOP/s of the dominant MXU kernels (the MFU-style
+    # number; VERDICT r2 weak #2). FLOPs are the ANALYTIC dot-product
+    # work of the visit-pruned NN kernels — exactly what the bbox logic
+    # of nearest_pallas_bounded_pre admits — so achieved = flops/time is
+    # a true utilization of the arithmetic actually executed.
+    from locus_tpu.ops.pallas.nn import AUG, BQ, BT, chunk_boxes
+
+    def ann_dot_flops(query_xyz, q_mask, cmin, cmax, radius):
+        """Replicates the kernel's tile-box visit test on the host."""
+        qn = np.asarray(query_xyz)
+        qm = np.asarray(q_mask)
+        n = qn.shape[0]
+        n_pad = -(-n // BQ) * BQ
+        qp = np.pad(qn, ((0, n_pad - n), (0, 0)))
+        vp = np.pad(qm & np.all(np.abs(qn) < 1e7, axis=1), (0, n_pad - n))
+        qt = qp.reshape(-1, BQ, 3)
+        vt = vp.reshape(-1, BQ)
+        big = 1e9
+        t_min = np.where(vt[..., None], qt, big).min(axis=1)
+        t_max = np.where(vt[..., None], qt, -big).max(axis=1)
+        cmin = np.asarray(cmin)
+        cmax = np.asarray(cmax)
+        gap = np.maximum(
+            np.maximum(cmin[None] - t_max[:, None], t_min[:, None] - cmax[None]),
+            0.0,
+        )
+        visits = int((np.sum(gap * gap, axis=-1) <= radius * radius).sum())
+        return visits * BQ * BT * (2 * AUG)
+
+    ann_flops = ann_dot_flops(
+        fixed.xyz, fixed.mask, state.map.chunk_min, state.map.chunk_max,
+        cfg.mapper.ann_search_radius,
+    )
+    # s2s GICP: one NN pass per outer iteration against the scan-sized
+    # previous (reference) cloud (+ the GN algebra, ~300 flop/pt/inner —
+    # negligible vs the dots, noted not counted)
+    prev = state.odom.reference
+    s2s_cmin, s2s_cmax = chunk_boxes(
+        prev.xyz, prev.mask,
+        -(-prev.xyz.shape[0] // BT) * BT,
+    )
+    s2s_nn_flops = ann_dot_flops(
+        scan.xyz, scan.mask, s2s_cmin, s2s_cmax, cfg.odometry.corr_dist
+    )
+    s2s_flops = s2s_nn_flops * iters["s2s_iterations"]
+    # v5e peaks: 197 TFLOP/s bf16; HIGHEST-precision f32 dots run as a
+    # 6-pass bf16 decomposition -> ~32.8 TFLOP/s effective f32 ceiling.
+    PEAK_BF16 = 197e12
+    PEAK_F32_HIGHEST = PEAK_BF16 / 6.0
+    if results["map_ann"] > 0:
+        af = ann_flops / results["map_ann"]
+        report["map_ann_flops"] = int(ann_flops)
+        report["map_ann_tflops"] = round(af / 1e12, 2)
+        report["map_ann_util_vs_f32_highest"] = round(af / PEAK_F32_HIGHEST, 3)
+        report["map_ann_util_vs_bf16_peak"] = round(af / PEAK_BF16, 4)
+    if s2s_flops and results["s2s_gicp"] > 0:
+        sf = s2s_flops / results["s2s_gicp"]
+        report["s2s_gicp_flops"] = int(s2s_flops)
+        report["s2s_gicp_tflops"] = round(sf / 1e12, 2)
+        report["s2s_gicp_util_vs_f32_highest"] = round(sf / PEAK_F32_HIGHEST, 3)
+
+    # ---- batched per-stage profile --------------------------------------
+    if args.batch:
+        def stack_n(tree, B):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), tree
+            )
+
+        report["batched"] = {}
+        for B in args.batch:
+            st_b = stack_n(state, B)
+            raw_b = stack_n(raw, B)
+            scan_b = stack_n(scan, B)
+            fixed_b = stack_n(fixed, B)
+            nbs_b = stack_n(neighbors_sensor, B)
+            odom_b = stack_n(state.odom, B)
+            loc_b = stack_n(loc0, B)
+            map_b = stack_n(state.map, B)
+            prior_b = stack_n(sel.prior, B)
+
+            def g_full(e, st, rw):
+                return jnp.sum(jax.vmap(lambda s, r: f_full(e, s, r))(st, rw))
+
+            def g_s2s(e, od, sc, pr):
+                return jnp.sum(
+                    jax.vmap(lambda o, s, p: f_s2s(e, o, s, p))(od, sc, pr)
+                )
+
+            def g_ann(e, mp, fx):
+                return jnp.sum(jax.vmap(lambda m, f: f_ann(e, m, f))(mp, fx))
+
+            def g_s2m(e, lc, sc, nb):
+                return jnp.sum(
+                    jax.vmap(lambda l, s, n: f_s2m(e, l, s, n))(lc, sc, nb)
+                )
+
+            def g_pre(e, rw, lf):
+                return jnp.sum(
+                    jax.vmap(lambda r: f_pre(e, r, lf))(rw)
+                )
+
+            b_res = {
+                "preprocess": timed(g_pre, raw_b, state.voxel_leaf),
+                "s2s_gicp": timed(g_s2s, odom_b, scan_b, prior_b),
+                "map_ann": timed(g_ann, map_b, fixed_b),
+                "s2m_gicp": timed(g_s2m, loc_b, scan_b, nbs_b),
+                "full_step": timed(g_full, st_b, raw_b),
+            }
+            report["batched"][str(B)] = {
+                k: round(v * 1e3, 3) for k, v in b_res.items()
+            }
     print(json.dumps(report))
 
 
