@@ -31,9 +31,13 @@ import _pathsetup  # noqa: F401
 
 def run_one(bt: int, map_kf: int, reps: int) -> dict:
     """Run in a subprocess so the module-level BT constant re-imports."""
+    return run_one_sharded(bt, map_kf, reps, 1)
+
+
+def run_one_sharded(bt: int, map_kf: int, reps: int, shards: int) -> dict:
     out = subprocess.run(
         [sys.executable, __file__, "--child", "--map-kf", str(map_kf),
-         "--reps", str(reps)],
+         "--reps", str(reps), "--shards", str(shards)],
         env={**os.environ, "LOCUS_NN_BT": str(bt)},
         capture_output=True,
         text=True,
@@ -44,7 +48,7 @@ def run_one(bt: int, map_kf: int, reps: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def child(map_kf: int, reps: int):
+def child(map_kf: int, reps: int, shards: int = 1):
     import jax
     import jax.numpy as jnp
 
@@ -91,6 +95,56 @@ def child(map_kf: int, reps: int):
     query = query[order]
 
     from jax import lax
+
+    if shards > 1:
+        # SHARD-LOCAL kernel microbench (the per-shard work of
+        # parallel/sharded_map.sharded_nearest_pallas): the ring store
+        # is split contiguously (= insertion order, so each shard owns a
+        # run of keyframes) and the kernel is timed per shard. Box
+        # pruning makes far shards near-free, so the binding time is the
+        # shard holding the query's neighborhood.
+        local = m_cap // shards
+        rows = []
+        for s in range(shards):
+            mq = jnp.asarray(map_full[s * local:(s + 1) * local])
+            msk = jnp.asarray(mask[s * local:(s + 1) * local])
+            t_aug = nn_mod.build_nn_target(mq)
+            c_min, c_max = nn_mod.chunk_boxes(mq, msk, t_aug.shape[1])
+            qd = jnp.asarray(query)
+
+            def loop_fn(q0, reps_, t_aug=t_aug, mq=mq, c_min=c_min, c_max=c_max):
+                def body(_, acc):
+                    d2, idx = nn_mod.nearest_pallas_bounded_pre(
+                        q0 + acc * 1e-12, t_aug, mq, c_min, c_max, 2.0
+                    )
+                    return jnp.sum(jnp.where(jnp.isfinite(d2), d2, 0.0))
+
+                return lax.fori_loop(0, reps_, body, jnp.asarray(0.0, jnp.float32))
+
+            timed = jax.jit(partial_loop(loop_fn, reps))
+            calib = jax.jit(partial_loop(lambda q0, r: jnp.sum(q0), 1))
+            _ = np.asarray(timed(qd)); _ = np.asarray(calib(qd))
+
+            def best_of(f, n=3):
+                b = np.inf
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    _ = np.asarray(f(qd))
+                    b = min(b, time.perf_counter() - t0)
+                return b
+
+            total = best_of(timed)
+            floor = best_of(calib)
+            rows.append(round((total - floor) * 1e3 / reps, 4))
+        print(json.dumps({
+            "bt": nn_mod.BT,
+            "shards": shards,
+            "local_points": local,
+            "per_shard_ms": rows,
+            "max_shard_ms": max(rows),
+            "sum_shard_ms": round(sum(rows), 4),
+        }))
+        return
 
     mq = jnp.asarray(map_full)
     t_aug = nn_mod.build_nn_target(mq)
@@ -166,13 +220,16 @@ def main():
     ap.add_argument("--bt", default="512,1024,2048")
     ap.add_argument("--map-kf", type=int, default=32)
     ap.add_argument("--reps", type=int, default=32)
+    ap.add_argument("--shards", type=int, default=1,
+                    help="time the SHARD-LOCAL kernel at map/S points "
+                    "per shard (parallel/sharded_map per-shard work)")
     ap.add_argument("--child", action="store_true")
     args = ap.parse_args()
     if args.child:
-        child(args.map_kf, args.reps)
+        child(args.map_kf, args.reps, args.shards)
         return
     rows = [
-        run_one(int(bt), args.map_kf, args.reps)
+        run_one_sharded(int(bt), args.map_kf, args.reps, args.shards)
         for bt in args.bt.split(",")
     ]
     print(json.dumps(rows, indent=1))
