@@ -199,12 +199,38 @@ def child(map_kf: int, reps: int, shards: int = 1):
         np.all(np.isfinite(d_got[d_ref <= 4.0]))
         and np.all(d_got[d_ref <= 4.0] <= d_ref[d_ref <= 4.0] + tol)
     )
+    # analytic dot-FLOPs of the visited chunks (exactly the work the
+    # kernel's bbox pruning admits) -> achieved TFLOP/s and utilization
+    # vs stated v5e ceilings (197 TFLOP/s bf16; /6 for HIGHEST-precision
+    # f32 6-pass). The op's contraction depth is AUG=8 of the MXU's 128,
+    # so the SHAPE-induced MXU ceiling is 8/128 of peak — reported too.
+    BQ = nn_mod.BQ
+    n_pad = -(-4096 // BQ) * BQ
+    qt = np.pad(query, ((0, n_pad - 4096), (0, 0))).reshape(-1, BQ, 3)
+    vt = np.pad(np.ones(4096, bool), (0, n_pad - 4096)).reshape(-1, BQ)
+    big = 1e9
+    t_min = np.where(vt[..., None], qt, big).min(axis=1)
+    t_max = np.where(vt[..., None], qt, -big).max(axis=1)
+    npmin = np.asarray(c_min)
+    npmax = np.asarray(c_max)
+    gap = np.maximum(
+        np.maximum(npmin[None] - t_max[:, None], t_min[:, None] - npmax[None]),
+        0.0,
+    )
+    visits = int((np.sum(gap * gap, axis=-1) <= 4.0).sum())
+    flops = visits * BQ * nn_mod.BT * 2 * nn_mod.AUG
+    tflops = flops / max(ms * 1e-3, 1e-9) / 1e12
     print(json.dumps({
         "bt": nn_mod.BT,
         "map_points": int(m),
         "ms_per_call": ms,
         "floor_ms": floor * 1e3,
         "near_exact": ok,
+        "visited_chunks": visits,
+        "dot_flops": int(flops),
+        "achieved_tflops": round(tflops, 2),
+        "util_vs_f32_highest_peak": round(tflops / (197.0 / 6.0), 3),
+        "util_vs_shape_ceiling": round(tflops / (197.0 / 6.0 * 8.0 / 128.0), 3),
     }))
 
 

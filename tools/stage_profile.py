@@ -307,6 +307,29 @@ def main():
     results["full_no_adaptive_leaf"] = timed(
         f_full_cfg(cfg_noadapt), state, raw
     )
+    # finer glue attribution (hunting the 'other_ms' gap)
+    cfg_norelookup = cfg.replace(
+        odometry=_dc.replace(cfg.odometry, final_correspondence_relookup=False),
+        localization=_dc.replace(
+            cfg.localization,
+            registration=_dc.replace(
+                cfg.localization.registration,
+                final_correspondence_relookup=False,
+            ),
+        ),
+    )
+    results["full_no_relookup"] = timed(f_full_cfg(cfg_norelookup), state, raw)
+    cfg_noxy = cfg.replace(b_publish_xy_cross_section=False)
+    results["full_no_xy_cross"] = timed(f_full_cfg(cfg_noxy), state, raw)
+    cfg_lean = cfg_norelookup.replace(
+        b_publish_xy_cross_section=False,
+        localization=_dc.replace(
+            cfg_norelookup.localization, compute_icp_covariance=False
+        ),
+        fusion=_dc.replace(cfg.fusion, data_integration_mode=0),
+        b_adaptive_input_voxelization=False,
+    )
+    results["full_lean"] = timed(f_full_cfg(cfg_lean), state, raw)
 
     # actual registration iteration counts at this state (informative:
     # both loops early-exit on the scaled-delta test)
