@@ -38,12 +38,19 @@ class FeatureGrid(NamedTuple):
     valid: jnp.ndarray      # (RINGS, W)
     curvature: jnp.ndarray  # (RINGS, W)
     label: jnp.ndarray      # (RINGS, W) int32
+    src_idx: jnp.ndarray    # (RINGS, W) int32 winner's index into the
+    # source cloud (-1 empty) — lets feature_clouds carry the source's
+    # per-point attributes (normals computed upstream of the extractor,
+    # as in the reference's NormalComputation -> Filter chain)
 
 
-def to_range_image(cloud: PointCloud, width: int = 1024) -> tuple[jnp.ndarray, jnp.ndarray]:
+def to_range_image(
+    cloud: PointCloud, width: int = 1024, return_index: bool = False
+):
     """Bin unordered points into a (RINGS, width) grid by elevation ring
     and azimuth (arrangePCLInScanLines equivalent). Cell conflicts keep
-    the nearer point."""
+    the nearer point. With return_index, also returns each cell's source
+    point index (-1 for empty cells)."""
     x, y, z = cloud.xyz[:, 0], cloud.xyz[:, 1], cloud.xyz[:, 2]
     rho = jnp.sqrt(x * x + y * y)
     elev_deg = jnp.degrees(jnp.arctan2(z, rho))
@@ -68,6 +75,16 @@ def to_range_image(cloud: PointCloud, width: int = 1024) -> tuple[jnp.ndarray, j
     )
     valid = jnp.zeros((RINGS * width + 1,), bool)
     valid = valid.at[jnp.where(winner, flat_idx, RINGS * width)].set(winner, mode="drop")
+    if return_index:
+        src = jnp.full((RINGS * width + 1,), -1, jnp.int32)
+        src = src.at[jnp.where(winner, flat_idx, RINGS * width)].set(
+            jnp.arange(cloud.capacity, dtype=jnp.int32), mode="drop"
+        )
+        return (
+            grid[:-1].reshape(RINGS, width, 3),
+            valid[:-1].reshape(RINGS, width),
+            src[:-1].reshape(RINGS, width),
+        )
     return grid[:-1].reshape(RINGS, width, 3), valid[:-1].reshape(RINGS, width)
 
 
@@ -242,7 +259,7 @@ def extract_features(
     per-region budgets, occluded/parallel-beam exclusions, and
     markAsPicked neighbor suppression (the full selection contract of
     PointCloudFilter.cc:269-386)."""
-    grid_xyz, valid = to_range_image(cloud, width)
+    grid_xyz, valid, src_idx = to_range_image(cloud, width, return_index=True)
     curv, cvalid = compute_curvature(grid_xyz, valid)
     blocked = unreliable_mask(grid_xyz, valid, half=suppression_half)
 
@@ -282,23 +299,39 @@ def extract_features(
 
     label = jnp.zeros((RINGS, width), jnp.int32)
     label = label.at[:, :usable].set(label_u)
-    return FeatureGrid(xyz=grid_xyz, valid=valid, curvature=curv, label=label)
+    return FeatureGrid(
+        xyz=grid_xyz, valid=valid, curvature=curv, label=label,
+        src_idx=src_idx,
+    )
 
 
 def feature_clouds(
-    fg: FeatureGrid, edge_capacity: int = 512, planar_capacity: int = 2048
+    fg: FeatureGrid,
+    edge_capacity: int = 512,
+    planar_capacity: int = 2048,
+    source: PointCloud | None = None,
 ) -> tuple[PointCloud, PointCloud]:
     """Flatten the label grid into edge (SHARP/LESS_SHARP) and planar
-    (FLAT/LESS_FLAT) clouds."""
+    (FLAT/LESS_FLAT) clouds. With `source`, each feature point carries
+    the source point's normal and intensity (the reference's features
+    keep the upstream NormalComputation fields — the extractor runs on
+    the already normal-annotated locus_input cloud)."""
     xyz = fg.xyz.reshape(-1, 3)
     lab = fg.label.reshape(-1)
     valid = fg.valid.reshape(-1)
+    normals = intensity = None
+    if source is not None:
+        idx = jnp.clip(fg.src_idx.reshape(-1), 0, source.capacity - 1)
+        normals = source.normals[idx]
+        intensity = source.intensity[idx]
     edge = PointCloud.from_points(
         xyz, capacity=xyz.shape[0],
         mask=valid & ((lab == SHARP) | (lab == LESS_SHARP)),
+        normals=normals, intensity=intensity,
     ).compact(edge_capacity)
     planar = PointCloud.from_points(
         xyz, capacity=xyz.shape[0],
         mask=valid & ((lab == FLAT) | (lab == LESS_FLAT)),
+        normals=normals, intensity=intensity,
     ).compact(planar_capacity)
     return edge, planar

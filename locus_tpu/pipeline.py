@@ -125,20 +125,44 @@ def preprocess(
     cfg: LocusConfig,
     key: Optional[jax.Array] = None,
     open_space=None,
-) -> PointCloud:
+    return_feedback_count: bool = False,
+):
     """body crop -> voxel grid (runtime leaf) -> optional filters ->
     normals; returns a scan at cfg.scan_capacity.
 
     `open_space` (traced bool) selects the open-space decimation variant
     of the random filter (PointCloudFilter.cc:103-110:
-    decimate_percentage_open_space instead of decimate_percentage)."""
+    decimate_percentage_open_space instead of decimate_percentage).
+
+    `return_feedback_count`: also return the POST-VOXELIZATION count —
+    what the reference's adaptive-voxel feedback observes (it watches
+    the locus_input topic, which is upstream of the in-Locus feature
+    extractor; Locus.cc:780-810). In feature mode the final feature
+    count is capped by the per-region budgets, so feeding it back would
+    drive the leaf (and everything derived from it, e.g. the normals
+    radius) to the floor — measured: junk normals, 8 m ATE."""
     f = cfg.filtering
     pc = raw
     if f.body_filter:
         pc = filters.crop_box(pc, f.box_min, f.box_max, negative=True)
     if f.extract_features:
-        # LOAM feature path (PointCloudFilter extract_features): keep only
-        # edge+planar feature points instead of the voxel-grid cloud.
+        # LOAM feature path (PointCloudFilter.cc:85-176 early branch):
+        # the extractor labels the cloud and keeps edge+planar points;
+        # the in-Locus random/grid/outlier filters are skipped, as in
+        # the reference. DELIBERATE deviation from the reference's
+        # nodelet ordering: the reference extracts from the voxelized
+        # locus_input because its curvature runs over CONSECUTIVE
+        # arranged-line points; this range-image formulation needs the
+        # raw scan's dense azimuth bins (a voxelized cloud fills ~3 % of
+        # cells and no curvature window survives), so features come from
+        # the crop-filtered RAW cloud. Normals are then estimated on the
+        # feature cloud by kNN — the leaf-derived radius is meaningless
+        # here (nothing upstream of the extractor depends on the leaf),
+        # and the adaptive-leaf feedback is frozen in step() for the
+        # same reason (measured before the freeze: the per-region
+        # feature budget fed back as "too few points", drove the leaf to
+        # the floor, the normals radius to ~5 cm, and the eval to 8 m
+        # ATE).
         from locus_tpu.ops import features as feat
 
         fg = feat.extract_features(pc, width=f.feature_width)
@@ -150,6 +174,10 @@ def preprocess(
         from locus_tpu.core import cloud as cloud_lib
 
         pc = cloud_lib.concatenate([edge, planar], capacity=cfg.scan_capacity)
+        pc = normals_op.estimate_normals(pc, k=f.normals_k)
+        if return_feedback_count:
+            return pc, pc.count()
+        return pc
     else:
         pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
     if f.grid_filter:
@@ -179,6 +207,8 @@ def preprocess(
         )
     else:
         pc = normals_op.estimate_normals(pc, k=f.normals_k)
+    if return_feedback_count:
+        return pc, pc.count()
     return pc
 
 
@@ -215,23 +245,28 @@ def step(
         if cfg.filtering.random_filter
         else None
     )
-    scan = preprocess(
-        raw_scan, state.voxel_leaf, cfg, key=pre_key, open_space=state.open_space
+    scan, fb_count = preprocess(
+        raw_scan, state.voxel_leaf, cfg, key=pre_key,
+        open_space=state.open_space, return_feedback_count=True,
     )
 
     # -- adaptive input voxelization (Locus.cc:780-810): the feedback law
     # acts on the POST-voxelization count (the reference observes the
-    # already-downsampled locus_input topic); the new leaf takes effect on
-    # the next scan, closing the loop at ~target points/scan. ------------
-    if cfg.b_adaptive_input_voxelization:
+    # already-downsampled locus_input topic — in feature mode that is the
+    # extractor's INPUT, not the feature subset); the new leaf takes
+    # effect on the next scan, closing the loop at ~target points/scan. --
+    if cfg.b_adaptive_input_voxelization and not cfg.filtering.extract_features:
         next_leaf, _ = voxel.adaptive_leaf_update(
             state.voxel_leaf,
-            scan.count(),
+            fb_count,
             cfg.points_to_process_in_callback,
             cfg.voxel_leaf_min,
             cfg.voxel_leaf_max,
         )
     else:
+        # feature mode: the leaf controls nothing upstream of the
+        # extractor (see preprocess), and the per-region feature budget
+        # would read as a permanent "too few points" — freeze it.
         next_leaf = state.voxel_leaf
 
     # -- localizer space monitor (open/closed keyframe policy switch;

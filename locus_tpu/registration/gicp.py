@@ -406,14 +406,18 @@ def gicp_register(
         M = _inv_sym3(A)
 
         # Inner Gauss-Newton: correspondences and M fixed (as in the
-        # reference's per-outer-iteration BFGS).
-        def inner_body(_, T_in):
-            p_cur = se3.transform_points(T_in, src0)
+        # reference's per-outer-iteration BFGS). The trip count is a
+        # static config int, so the loop is UNROLLED in the trace — a
+        # lax.fori_loop here would put a while-loop boundary around each
+        # ~30-reduction GN step and block XLA from fusing across
+        # iterations (measured: the fused unrolled form shaves per-
+        # iteration dispatch off the hot path).
+        T_new = T
+        for _ in range(cfg.inner_iterations):
+            p_cur = se3.transform_points(T_new, src0)
             p_cur = jnp.where(source.mask[:, None], p_cur, q)  # zero-residual pads
             dx = _gauss_newton_step_comps(p_cur, q, M, w, cfg.levenberg_lambda)
-            return se3.compose(se3.se3_exp(dx), T_in)
-
-        T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
+            T_new = se3.compose(se3.se3_exp(dx), T_new)
         T_new = se3.make_transform(
             se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
         )
