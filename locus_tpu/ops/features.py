@@ -57,17 +57,34 @@ def to_range_image(
     ring = jnp.round((elev_deg - ELEV_MIN_DEG) / ELEV_STEP_DEG).astype(jnp.int32)
     ring_ok = (ring >= 0) & (ring < RINGS)
     az = jnp.arctan2(y, x)
-    col = jnp.floor((az + jnp.pi) / (2 * jnp.pi) * width).astype(jnp.int32)
-    col = jnp.clip(col, 0, width - 1)
+    # ROUND-to-center binning, not floor: lidar rays from a W-step
+    # azimuth sweep land exactly ON floor's bin boundaries, where a
+    # 1-ulp arctan2 difference (jit and eager fuse it differently)
+    # flips the bin — measured: 4 % of cells merged under jit and the
+    # broken curvature windows erased every edge feature. Rounding puts
+    # the decision point half a bin away from any sweep-aligned ray;
+    # for arbitrary clouds it is the same binning shifted half a bin.
+    col = (
+        jnp.round((az + jnp.pi) / (2 * jnp.pi) * width).astype(jnp.int32)
+        % width
+    )
     ok = cloud.mask & ring_ok
 
-    rng = jnp.sqrt(x * x + y * y + z * z)
+    # optimization_barrier: the range feeds BOTH the scatter-min and the
+    # winner comparison; without the barrier XLA duplicates the sqrt
+    # into two fusions whose codegen can differ by >1 ulp (measured
+    # under jit on CPU: 4 % of cells lost their winner, and the
+    # curvature windows amplified that into 0 edge features), so both
+    # consumers must read the SAME materialized buffer. With one buffer
+    # the min element always satisfies rng <= gathered min exactly — no
+    # tolerance needed.
+    rng = jax.lax.optimization_barrier(jnp.sqrt(x * x + y * y + z * z))
     flat_idx = jnp.where(ok, ring * width + col, RINGS * width)
 
     # nearest-point-wins scatter: scatter-min the range, then match
     range_grid = jnp.full((RINGS * width + 1,), jnp.inf, jnp.float32)
     range_grid = range_grid.at[flat_idx].min(jnp.where(ok, rng, jnp.inf))
-    winner = ok & (rng <= range_grid[flat_idx] + 1e-6)
+    winner = ok & (rng <= range_grid[flat_idx])
 
     grid = jnp.full((RINGS * width + 1, 3), PAD_COORD, jnp.float32)
     grid = grid.at[jnp.where(winner, flat_idx, RINGS * width)].set(

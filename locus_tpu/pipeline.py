@@ -166,10 +166,21 @@ def preprocess(
         from locus_tpu.ops import features as feat
 
         fg = feat.extract_features(pc, width=f.feature_width)
+        # The LESS_FLAT bulk can be most of the grid; compacting it
+        # straight into the planar budget would keep the FIRST budget
+        # cells in grid order — the bottom rings only, a spatially
+        # degenerate band that let the registration slide freely
+        # (measured: odometry frozen at identity). LOAM's answer is to
+        # voxel-downsample the less-flat cloud (grid_res leaf), which
+        # thins it UNIFORMLY into the budget.
         edge, planar = feat.feature_clouds(
             fg,
             edge_capacity=cfg.scan_capacity // 4,
-            planar_capacity=cfg.scan_capacity - cfg.scan_capacity // 4,
+            planar_capacity=feat.RINGS * f.feature_width,
+        )
+        planar = voxel.voxel_downsample(
+            planar, jnp.asarray(f.grid_res, jnp.float32),
+            capacity=cfg.scan_capacity - cfg.scan_capacity // 4,
         )
         from locus_tpu.core import cloud as cloud_lib
 
