@@ -406,18 +406,19 @@ def gicp_register(
         M = _inv_sym3(A)
 
         # Inner Gauss-Newton: correspondences and M fixed (as in the
-        # reference's per-outer-iteration BFGS). The trip count is a
-        # static config int, so the loop is UNROLLED in the trace — a
-        # lax.fori_loop here would put a while-loop boundary around each
-        # ~30-reduction GN step and block XLA from fusing across
-        # iterations (measured: the fused unrolled form shaves per-
-        # iteration dispatch off the hot path).
-        T_new = T
-        for _ in range(cfg.inner_iterations):
-            p_cur = se3.transform_points(T_new, src0)
+        # reference's per-outer-iteration BFGS). Kept as lax.fori_loop
+        # even though the trip count is static: unrolling was measured
+        # perf-NEUTRAL on TPU (207.6 vs the 209.7 ± 3.8 scans/s band)
+        # but let XLA fuse the unrolled reductions differently under
+        # vmap, breaking the batched==single determinism contract by
+        # 2e-4 — the loop boundary pins one reduction order everywhere.
+        def inner_body(_, T_in):
+            p_cur = se3.transform_points(T_in, src0)
             p_cur = jnp.where(source.mask[:, None], p_cur, q)  # zero-residual pads
             dx = _gauss_newton_step_comps(p_cur, q, M, w, cfg.levenberg_lambda)
-            T_new = se3.compose(se3.se3_exp(dx), T_new)
+            return se3.compose(se3.se3_exp(dx), T_in)
+
+        T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
         T_new = se3.make_transform(
             se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
         )

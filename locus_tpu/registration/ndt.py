@@ -626,15 +626,18 @@ def ndt_register(
             )
             T_new = se3.compose(se3.se3_exp(step), T)
         else:
-            # static trip count: unrolled (see gicp.py inner loop note)
-            T_new = T
-            for _ in range(cfg.inner_iterations):
-                p_cur = se3.transform_points(T_new, src0f)
+            # fori_loop kept despite the static trip count — the loop
+            # boundary pins one reduction order across vmapped and
+            # single programs (see gicp.py inner-loop note)
+            def inner_body(_, T_in):
+                p_cur = se3.transform_points(T_in, src0f)
                 p_cur = jnp.where(maskf[:, None], p_cur, mu)
                 dx = _gauss_newton_step_comps(
                     p_cur, mu, M, w, cfg.levenberg_lambda
                 )
-                T_new = se3.compose(se3.se3_exp(dx), T_new)
+                return se3.compose(se3.se3_exp(dx), T_in)
+
+            T_new = lax.fori_loop(0, cfg.inner_iterations, inner_body, T)
         T_new = se3.make_transform(
             se3.orthonormalize(se3.rotation(T_new)), se3.translation(T_new)
         )
