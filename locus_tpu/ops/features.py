@@ -105,6 +105,31 @@ def to_range_image(
     return grid[:-1].reshape(RINGS, width, 3), valid[:-1].reshape(RINGS, width)
 
 
+def _compact_rings(grid_xyz, valid, src_idx):
+    """Stable per-ring compaction of valid cells to the row prefix.
+
+    The reference's arranged scan lines are POINT sequences — curvature,
+    the markAsPicked gap test, and the occlusion exclusions all operate
+    on CONSECUTIVE POINTS (PointCloudFilter.cc:269-386), not consecutive
+    angular bins. Compacting each ring turns the range image into that
+    point-sequence layout, so the downstream machinery matches the
+    reference on sparse clouds too (a 20 %-fill ring previously had no
+    complete curvature window and produced zero features; the reference
+    extracts from such clouds routinely — its production feature input
+    is the voxelized locus_input)."""
+    rings, W = valid.shape
+    pos = jnp.cumsum(valid, axis=1) - 1
+    tgt = jnp.where(valid, pos, W)                      # W = drop slot
+    rows = jnp.arange(rings)[:, None]
+    out_xyz = jnp.full((rings, W + 1, 3), PAD_COORD, jnp.float32)
+    out_xyz = out_xyz.at[rows, tgt].set(grid_xyz, mode="drop")
+    out_valid = jnp.zeros((rings, W + 1), bool)
+    out_valid = out_valid.at[rows, tgt].set(valid, mode="drop")
+    out_src = jnp.full((rings, W + 1), -1, jnp.int32)
+    out_src = out_src.at[rows, tgt].set(src_idx, mode="drop")
+    return out_xyz[:, :W], out_valid[:, :W], out_src[:, :W]
+
+
 def compute_curvature(grid_xyz: jnp.ndarray, valid: jnp.ndarray, half: int = 5):
     """LOAM curvature: c_i = || sum_{k!=0} (p_{i+k} - p_i) ||^2 over a
     2*half window along the ring; valid only when the whole window is."""
@@ -277,6 +302,9 @@ def extract_features(
     markAsPicked neighbor suppression (the full selection contract of
     PointCloudFilter.cc:269-386)."""
     grid_xyz, valid, src_idx = to_range_image(cloud, width, return_index=True)
+    # point-sequence layout (the reference's arranged scan lines): all
+    # window-based math below runs over consecutive POINTS
+    grid_xyz, valid, src_idx = _compact_rings(grid_xyz, valid, src_idx)
     curv, cvalid = compute_curvature(grid_xyz, valid)
     blocked = unreliable_mask(grid_xyz, valid, half=suppression_half)
 

@@ -97,7 +97,9 @@ def test_picked_features_are_non_adjacent():
     pc = PointCloud.from_points(np.asarray(pts, np.float32), capacity=1024)
     fg = F.extract_features(pc, width=360, curvature_threshold=0.02)
     lab = np.asarray(fg.label)
-    grid, valid = F.to_range_image(pc, width=360)
+    # fg's layout is the COMPACTED point sequence — build the gap test
+    # on the same layout (fg.xyz/fg.valid), matching the extractor
+    grid, valid = fg.xyz, fg.valid
     # suppression stops at depth discontinuities (markAsPicked's break at
     # consecutive sq-diff > 0.05) — picks closer than the window are only
     # legal when such a gap separates them
@@ -141,11 +143,13 @@ def test_occlusion_edge_not_sharp():
             r = 2.0 / d[0] if -15 <= az_deg <= 15 else 6.0 / d[0]
             pts.append(d * r)
     pc = PointCloud.from_points(np.asarray(pts, np.float32), capacity=1024)
-    grid, valid = F.to_range_image(pc, width=720)
-    blocked = np.asarray(F.unreliable_mask(grid, valid))
     fg = F.extract_features(pc, width=720, curvature_threshold=0.05)
+    # fg's layout is the compacted point sequence; compute the exclusion
+    # mask on the same layout
+    blocked = np.asarray(F.unreliable_mask(fg.xyz, fg.valid))
     lab = np.asarray(fg.label)
     xyz = np.asarray(fg.xyz)
+    valid = fg.valid
 
     # find the occlusion columns: background cells adjacent to the jump
     for ring in [7, 8]:

@@ -99,7 +99,12 @@ def main():
     bat = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bat)
     if os.path.exists(bat.REFERENCE):
-        gseq = bat.make_garage_sequence(num_scans=min(args.scans, 48))
+        # feature mode needs sweep-structured scans (LOAM extraction is
+        # defined on a sensor sweep); structured=True re-raycasts the
+        # real cloud into the VLP-16 (ring, azimuth) grid per pose
+        gseq = bat.make_garage_sequence(
+            num_scans=min(args.scans, 48), structured=args.features
+        )
         poses, _, _ = run_sequence(gseq, cfg, collect_outputs=False)
         gt = gseq.gt_poses[: poses.shape[0]]
         t_rpe, r_rpe = rpe(poses, gt)

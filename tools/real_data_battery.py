@@ -174,9 +174,18 @@ def ndt_matrix():
 
 
 def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
-                         keep_frac=0.8, max_range=30.0, seed=3):
+                         keep_frac=0.8, max_range=30.0, seed=3,
+                         structured=False, azimuth_bins=900):
     """Scans of the real garage cloud from a known trajectory (real
-    geometry, synthetic motion)."""
+    geometry, synthetic motion).
+
+    `structured=True` emits SWEEP-STRUCTURED scans: visible cloud points
+    are binned per pose into the VLP-16 (ring, azimuth) grid, keeping
+    the nearest return per cell — an approximate re-raycast of the
+    static cloud. These scans have the sensor-sweep structure LOAM
+    feature extraction is defined on (arrangePCLInScanLines assumes it),
+    so the feature path can be evaluated against REAL geometry; the
+    default (random-subsample) variant feeds the voxel path."""
     import numpy as np
 
     from locus_tpu.io import pcd
@@ -197,15 +206,39 @@ def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
         gt[i, 1, 3] = 2.0 + 0.4 * i
         gt[i, 2, 3] = 1.0
 
-    P = points_per_scan
+    P = (16 * azimuth_bins) if structured else points_per_scan
     scans = np.zeros((T, P, 3), np.float32)
     valid = np.zeros((T, P), bool)
     for i in range(T):
         R, t = gt[i, :3, :3], gt[i, :3, 3]
         loc = (world - t) @ R
-        idx = np.nonzero(np.linalg.norm(loc, axis=1) < max_range)[0]
-        keep = idx[rng.random(idx.size) < keep_frac]
-        pts = loc[keep] + rng.normal(0, noise, (keep.size, 3))
+        rr = np.linalg.norm(loc, axis=1)
+        idx = np.nonzero(rr < max_range)[0]
+        if structured:
+            # nearest return per (ring, azimuth) cell = approximate
+            # re-raycast (occlusion handled by the min; the VLP-16 ring
+            # set matches ops/features.py's elevation table)
+            pts_all = loc[idx]
+            rho = np.linalg.norm(pts_all[:, :2], axis=1)
+            elev = np.degrees(np.arctan2(pts_all[:, 2], rho))
+            ring = np.round((elev + 15.0) / 2.0).astype(np.int64)
+            az = np.arctan2(pts_all[:, 1], pts_all[:, 0])
+            col = np.round(
+                (az + np.pi) / (2 * np.pi) * azimuth_bins
+            ).astype(np.int64) % azimuth_bins
+            ok = (ring >= 0) & (ring < 16)
+            cell = np.where(ok, ring * azimuth_bins + col, -1)
+            # sort by (cell, range); the first entry of each cell group
+            # is that cell's nearest return
+            order = np.lexsort((rr[idx], cell))
+            cs = cell[order]
+            is_first = np.ones(order.size, bool)
+            is_first[1:] = cs[1:] != cs[:-1]
+            win = order[is_first & (cs >= 0)]
+            pts = pts_all[win] + rng.normal(0, noise, (win.size, 3))
+        else:
+            keep = idx[rng.random(idx.size) < keep_frac]
+            pts = loc[keep] + rng.normal(0, noise, (keep.size, 3))
         n = min(P, pts.shape[0])
         scans[i, :n] = pts[:n]
         valid[i, :n] = True
