@@ -340,6 +340,55 @@ def test_two_process_pipeline_replay():
     assert res["final_map_size"] > 0
 
 
+def test_two_process_dp_replay_with_host_role_feeding():
+    """Multi-robot DP deployment multi-host (SURVEY §2.2): the BATCHED
+    replay with the batch axis sharded across 2 processes, each process
+    packing ONLY the sequences whose data shards it owns
+    (make_array_from_callback requests only addressable shards). Every
+    sequence's trajectory must match its single-process replay."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+
+    def proc(pid):
+        return subprocess.Popen(
+            [sys.executable, os.path.join("tools", "dist_smoke.py"),
+             "--coordinator", coord, "--num-processes", "2",
+             "--process-id", str(pid), "--mode", "dp"],
+            cwd=root, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True,
+        )
+
+    p1 = proc(1)
+    p0 = proc(0)
+    try:
+        out0, err0 = p0.communicate(timeout=600)
+        out1, err1 = p1.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        p0.kill()
+        p1.kill()
+        raise
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+    line = [l for l in out0.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["processes"] == 2
+    assert res["batch"] == 2
+    assert res["owned_rows_proc0"] == [0]
+    assert res["max_pose_err_vs_single_process"] < 1e-4
+    assert all(s > 0 for s in res["final_map_sizes"])
+
+
 def test_explicit_sharded_map_replay_matches_single_device():
     """The explicit-collective sharded-map path (VERDICT r1 weak #5:
     previously test-only) wired into the production single-sequence

@@ -130,6 +130,147 @@ def run_pipeline_mode(args):
         )
 
 
+def run_dp_mode(args):
+    """BATCHED replay with the batch ("data") axis across processes and
+    genuine host-role feeding: each process packs ONLY the sequences
+    whose data-shard devices it owns (make_array_from_callback asks a
+    process only for its addressable shards), runs the global vmapped
+    program, and the per-sequence trajectories must equal independent
+    single-process replays. This is the multi-robot DP deployment of
+    SURVEY §2.2 executing multi-host with per-host scan streams."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from locus_tpu import pipeline
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel.distributed import (
+        fetch_replicated,
+        local_batch_slice,
+    )
+    from locus_tpu.runner import (
+        make_batched_replay,
+        make_scan_replay,
+        pack_sequence,
+        stack_packed,
+    )
+
+    cfg = tiny_pipeline_config()
+    n = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()).reshape(n, 1), ("data", "map"))
+    B = n
+    seqs = [
+        make_tunnel_sequence(num_scans=8, azimuth_steps=128, step=0.35, seed=s)
+        for s in range(B)
+    ]
+    owned = local_batch_slice(mesh, B)
+
+    # pack ONLY the owned sequences; unowned rows are never materialized
+    # on this host (zeros placeholder keeps shapes for the callback API)
+    packed_rows = {}
+    for b in owned:
+        packed_rows[b] = jax.tree_util.tree_map(
+            np.asarray, pack_sequence(seqs[b], cfg)
+        )
+    proto = next(iter(packed_rows.values()))
+
+    gpacked = {}
+    for k, v in proto.items():
+        shape = (v.shape[0], B) + v.shape[1:]
+        sh = NamedSharding(mesh, P(None, "data"))
+        gpacked[k] = jax.make_array_from_callback(
+            shape, sh,
+            lambda idx, k=k: np.ascontiguousarray(
+                np.stack(
+                    [packed_rows[b][k] for b in range(idx[1].start, idx[1].stop)],
+                    axis=1,
+                )[idx[0]]
+            ),
+        )
+
+    # batched state: each process builds its owned rows
+    def fresh_state(b):
+        st = pipeline.init_state(
+            cfg, jnp.asarray(seqs[b].gt_poses[0], jnp.float32)
+        )
+        return jax.tree_util.tree_map(np.asarray, st)
+
+    states = {b: fresh_state(b) for b in owned}
+    proto_state = next(iter(states.values()))
+
+    gstate = jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.make_array_from_callback(
+            (B,) + x.shape,
+            NamedSharding(mesh, P("data")),
+            lambda idx, path=path: np.ascontiguousarray(
+                np.stack(
+                    [
+                        _tree_get(states[b], path)
+                        for b in range(idx[0].start, idx[0].stop)
+                    ],
+                    axis=0,
+                )
+            ),
+        ),
+        proto_state,
+    )
+
+    replay = make_batched_replay(cfg)
+    _, (poses, _, sizes) = replay(gstate, gpacked)
+    poses = fetch_replicated(poses)          # (T, B, 4, 4)
+    sizes = fetch_replicated(sizes)
+
+    # reference: OWNED sequences replayed single-process on the local
+    # device (each process checks its own rows)
+    max_err = 0.0
+    for b in owned:
+        ref_replay = make_scan_replay(cfg)
+        st = jax.tree_util.tree_map(jnp.asarray, fresh_state(b))
+        _, (poses_ref, _, _) = ref_replay(
+            st, jax.tree_util.tree_map(jnp.asarray, packed_rows[b])
+        )
+        err = float(np.max(np.abs(poses[:, b] - np.asarray(poses_ref))))
+        max_err = max(max_err, err)
+    assert max_err < 1e-4, max_err
+    assert int(sizes[-1].min()) > 0
+
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "mode": "dp",
+                    "processes": jax.process_count(),
+                    "batch": B,
+                    "owned_rows_proc0": owned,
+                    "max_pose_err_vs_single_process": max_err,
+                    "final_map_sizes": [int(s) for s in sizes[-1]],
+                }
+            )
+        )
+
+
+def _tree_get(tree, path):
+    """Resolve a jax tree path (GetAttrKey/SequenceKey chain) in a
+    pytree of the same structure."""
+    import jax
+
+    node = tree
+    for entry in path:
+        if isinstance(entry, jax.tree_util.GetAttrKey):
+            node = getattr(node, entry.name)
+        elif isinstance(entry, jax.tree_util.SequenceKey):
+            node = node[entry.idx]
+        elif isinstance(entry, jax.tree_util.DictKey):
+            node = node[entry.key]
+        elif isinstance(entry, jax.tree_util.FlattenedIndexKey):
+            # leaf of an opaque registered node: flatten and index
+            node = jax.tree_util.tree_leaves(node)[entry.key]
+        else:
+            raise TypeError(f"unsupported path entry {entry!r}")
+    return node
+
+
 def run_sum_mode(args):
     import jax
     import numpy as np
@@ -182,7 +323,7 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
-    ap.add_argument("--mode", choices=("sum", "pipeline"), default="sum")
+    ap.add_argument("--mode", choices=("sum", "pipeline", "dp"), default="sum")
     args = ap.parse_args()
 
     import jax
@@ -203,6 +344,8 @@ def main():
 
     if args.mode == "pipeline":
         run_pipeline_mode(args)
+    elif args.mode == "dp":
+        run_dp_mode(args)
     else:
         run_sum_mode(args)
 
