@@ -148,3 +148,87 @@ def test_oracle_matches_tpu_gicp_garage():
     dt, dr = _pose_diff(np.asarray(res.transform, np.float64), T_oracle)
     assert dt < 2e-3, dt          # translation agreement [m]
     assert dr < 2e-3, dr          # rotation agreement [rad]
+
+
+def test_ndt_oracle_confirms_repo_solution_synthetic():
+    """Float64 NDT oracle (tests/oracle_ndt.py): polishing the TPU
+    registrar's solution with an independent Nelder-Mead minimization
+    of the same objective (float64 numpy voxel stats, searchsorted
+    DIRECT7 lookup) must barely move it — the repo solution is a local
+    minimum of the independently-evaluated score — and must score far
+    better than identity."""
+    from tests.oracle_gicp import _matrix_to_rotvec
+    from tests.oracle_ndt import oracle_ndt
+
+    xyz, nrm = synthetic.hollow_cube(step=0.15, side=4.0, jitter=0.01, seed=2)
+    tgt = PointCloud.from_points(xyz, capacity=2048, normals=nrm)
+    T_true = np.eye(4, dtype=np.float32)
+    T_true[:3, 3] = [0.12, -0.06, 0.04]
+    src = tgt.transform(jnp.asarray(np.linalg.inv(T_true)))
+
+    cfg = RegistrationConfig(
+        registration_method="ndt", ndt_resolution=1.0, iterations=40
+    )
+    from locus_tpu.registration.ndt import ndt_register
+
+    r = ndt_register(src, tgt, cfg=cfg)
+    Tr = np.asarray(r.transform, np.float64)
+    x0 = np.concatenate([Tr[:3, 3], _matrix_to_rotvec(Tr[:3, :3])])
+    m = np.asarray(src.mask)
+    tm = np.asarray(tgt.mask)
+    To, conv, score = oracle_ndt(
+        np.asarray(src.xyz, np.float64)[m],
+        np.asarray(tgt.xyz, np.float64)[tm],
+        resolution=1.0, x0=x0, return_score=True,
+    )
+    assert conv
+    dt, dr = _pose_diff(To, Tr)
+    assert dt < 0.02, dt            # oracle polish barely moves it
+    assert dr < 0.01, dr
+    assert score(x0) < score(np.zeros(6)) - 100.0
+
+
+def test_ndt_oracle_confirms_repo_solution_garage():
+    """Same contract on the REAL garage pair (both optimizers)."""
+    if not (os.path.exists(GARAGE_Q) and os.path.exists(GARAGE_R)):
+        pytest.skip("reference garage PCDs not available")
+    import dataclasses
+
+    from locus_tpu.io import pcd
+    from locus_tpu.ops import normals as normals_op
+    from locus_tpu.registration.ndt import ndt_register
+    from tests.oracle_gicp import _matrix_to_rotvec
+    from tests.oracle_ndt import oracle_ndt
+
+    def load(path, capacity):
+        data = pcd.read_pcd(path)
+        xyz = np.stack(
+            [np.asarray(data[k], np.float32) for k in ("x", "y", "z")], axis=1
+        )
+        xyz = xyz[np.isfinite(xyz).all(axis=1)]
+        pc = PointCloud.from_points(xyz, capacity=capacity)
+        return normals_op.estimate_normals(pc, k=20)
+
+    query = load(GARAGE_Q, 1024)
+    ref = load(GARAGE_R, 8192)
+    base = RegistrationConfig(
+        registration_method="ndt", ndt_resolution=1.0, iterations=40
+    )
+    m = np.asarray(query.mask)
+    tm = np.asarray(ref.mask)
+    sx = np.asarray(query.xyz, np.float64)[m]
+    tx = np.asarray(ref.xyz, np.float64)[tm]
+    for opt in ("irls", "newton"):
+        r = ndt_register(
+            query, ref, cfg=dataclasses.replace(base, ndt_optimizer=opt)
+        )
+        assert bool(r.converged), opt
+        Tr = np.asarray(r.transform, np.float64)
+        x0 = np.concatenate([Tr[:3, 3], _matrix_to_rotvec(Tr[:3, :3])])
+        To, conv, score = oracle_ndt(
+            sx, tx, resolution=1.0, x0=x0, return_score=True
+        )
+        dt, dr = _pose_diff(To, Tr)
+        assert dt < 0.05, (opt, dt)
+        assert dr < 0.02, (opt, dr)
+        assert score(x0) < score(np.zeros(6))
