@@ -61,48 +61,55 @@ def init_map(cfg: MapperConfig) -> MapState:
     )
 
 
-def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
-    """1-NN into the map store, bounded to `radius` (hits beyond it come
-    back as d2=inf — every consumer gates far hits anyway): explicit
-    sharded collectives under an active map-mesh context, else the
-    bbox-pruned cached-operand Pallas path on TPU, plain XLA on CPU."""
-    from locus_tpu.ops.dispatch import active_map_mesh, pallas_allowed
+def _local_nearest(state, query_xyz: jnp.ndarray, radius: float):
+    """Bounded 1-NN against THIS process/shard's stored points (the whole
+    map when unsharded, one shard inside shard_map — shapes are static
+    either way, so the same bbox-pruned cached-operand Pallas kernel
+    serves both). Hits beyond `radius` come back d2=inf."""
+    from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
-    mesh_ax = active_map_mesh()
-    if mesh_ax is not None:
-        # map point axis sharded over the mesh "map" axis: shard-local
-        # 1-NN + all_gather merge (parallel/sharded_map.py). When each
-        # shard tiles into whole BT chunks, the shard-local search is
-        # the SAME bbox-pruned Pallas kernel as the single-device path
-        # (cached nn_aug/chunk boxes, sharded with the state); otherwise
-        # the XLA distance-matrix fallback.
-        from locus_tpu.parallel.sharded_map import (
-            pallas_shardable,
-            sharded_nearest,
-            sharded_nearest_pallas,
-        )
-
-        mesh, axis = mesh_ax
-        if (
-            pallas_shardable(mesh, state.cloud.capacity, axis)
-            and query_xyz.shape[0] >= 128
-        ):
-            return sharded_nearest_pallas(
-                mesh, query_xyz, state.cloud.xyz, state.nn_aug,
-                state.chunk_min, state.chunk_max, radius, axis=axis,
-            )
-        d2, idx = sharded_nearest(mesh, query_xyz, state.cloud.xyz, axis=axis)
-        return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
-
-    if pallas_allowed() and query_xyz.shape[0] >= 128:
+    if (
+        pallas_allowed()
+        and query_xyz.shape[0] >= 128
+        and state.nn_aug.shape[1] == state.cloud.capacity
+    ):
         from locus_tpu.ops.pallas.nn import nearest_pallas_bounded_pre
 
         return nearest_pallas_bounded_pre(
             query_xyz, state.nn_aug, state.cloud.xyz,
             state.chunk_min, state.chunk_max, radius,
+            interpret=pallas_interpret(),
         )
     d2, idx = neighbors.nearest(query_xyz, state.cloud.xyz)
     return jnp.where(d2 <= radius * radius, d2, jnp.inf), idx
+
+
+def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
+    """1-NN into the map store, bounded to `radius` (hits beyond it come
+    back as d2=inf — every consumer gates far hits anyway).
+
+    Inside a shard_map deployment (dispatch.active_shard_axis set) the
+    stored arrays are shard-local: each shard runs the SAME kernel on
+    its slice, then the winners merge with one all_gather over the mesh
+    axis — per-query ICI traffic is shards * 8 B, independent of map
+    size. Returned indices are GLOBAL (shard offset applied)."""
+    from jax import lax
+
+    from locus_tpu.ops.dispatch import active_shard_axis
+
+    ax = active_shard_axis()
+    if ax is not None:
+        axis, _ = ax
+        d2_l, idx_l = _local_nearest(state, query_xyz, radius)
+        gidx = idx_l + lax.axis_index(axis) * state.cloud.capacity
+        all_d2 = lax.all_gather(d2_l, axis)      # (S, N)
+        all_idx = lax.all_gather(gidx, axis)
+        best = jnp.argmin(all_d2, axis=0)        # ties -> lowest shard,
+        # whose in-shard winner is its lowest index == global lowest
+        d2 = jnp.take_along_axis(all_d2, best[None], axis=0)[0]
+        idx = jnp.take_along_axis(all_idx, best[None], axis=0)[0]
+        return d2, idx
+    return _local_nearest(state, query_xyz, radius)
 
 
 def insert_keyframe(
@@ -117,6 +124,8 @@ def insert_keyframe(
     `nearest_d2` optionally supplies precomputed per-point distances to
     the map (the pipeline reuses the ApproxNearestNeighbors result from
     the same scan — saves a full map 1-NN pass)."""
+    from locus_tpu.ops.dispatch import active_shard_axis
+
     leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
     if nearest_d2 is None:
         nearest_d2, _ = _map_nearest(state, keyframe.xyz, cfg.ann_search_radius)
@@ -124,13 +133,29 @@ def insert_keyframe(
 
     kf = keyframe.with_mask(novel).compact()     # novel points to the front
     k = kf.capacity
-    cap = state.cloud.capacity
+    ax = active_shard_axis()
+    local_cap = state.cloud.capacity
+    cap = local_cap * (ax[1] if ax is not None else 1)  # GLOBAL ring size
     n_novel = kf.count()
 
+    # Global ring slots — identical on every shard (write_ptr and the
+    # novelty mask are replicated), so each shard independently derives
+    # which writes land in its slice.
     slot = (state.write_ptr + jnp.arange(k, dtype=jnp.int32)) % cap
-    # Only the first n_novel slots carry data; drop the rest so stale map
-    # entries are not clobbered by padding.
-    write_idx = jnp.where(kf.mask, slot, cap)    # cap = out of range -> drop
+    if ax is not None:
+        from jax import lax
+
+        off = lax.axis_index(ax[0]) * local_cap
+        mine = kf.mask & (slot >= off) & (slot < off + local_cap)
+        # Only this shard's slots carry data; the rest go out of range
+        # (= local_cap) and are dropped by the scatters.
+        write_idx = jnp.where(mine, slot - off, local_cap)
+        valid = mine
+    else:
+        # Only the first n_novel slots carry data; drop the rest so
+        # stale map entries are not clobbered by padding.
+        write_idx = jnp.where(kf.mask, slot, cap)
+        valid = kf.mask
 
     from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
 
@@ -139,11 +164,11 @@ def insert_keyframe(
         cloud.xyz.at[write_idx].set(kf.xyz, mode="drop"),
         cloud.normals.at[write_idx].set(kf.normals, mode="drop"),
         cloud.intensity.at[write_idx].set(kf.intensity, mode="drop"),
-        cloud.mask.at[write_idx].set(kf.mask, mode="drop"),
+        cloud.mask.at[write_idx].set(valid, mode="drop"),
     )
-    nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, kf.mask)
+    nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, valid)
     c_min, c_max = update_chunk_boxes(
-        state.chunk_min, state.chunk_max, write_idx, kf.xyz, kf.mask
+        state.chunk_min, state.chunk_max, write_idx, kf.xyz, valid
     )
     return MapState(
         cloud=new_cloud,
@@ -229,7 +254,49 @@ def approx_nearest_neighbors(
     'submap' reference cloud consumed by scan-to-submap GICP. Shape
     matches the query; queries with no valid map point are masked.
     With return_d2, also returns the squared distances (reused by the
-    keyframe-insertion novelty gate)."""
+    keyframe-insertion novelty gate).
+
+    Sharded deployments (dispatch.active_shard_axis set): the winning
+    neighbor may live on another shard, so instead of gathering by
+    global index each shard gathers its LOCAL winner's payload
+    (xyz+normal+intensity+validity, 8 f32) and the merge selects the
+    payload of the globally nearest shard — one all_gather of
+    N x 9 f32 per query set, still independent of map size."""
+    from locus_tpu.ops.dispatch import active_shard_axis
+
+    ax = active_shard_axis()
+    if ax is not None:
+        from jax import lax
+
+        axis, _ = ax
+        d2_l, idx_l = _local_nearest(state, query.xyz, radius)
+        ok_l = state.cloud.mask[idx_l] & jnp.isfinite(d2_l)
+        d2_l = jnp.where(ok_l, d2_l, jnp.inf)
+        payload = jnp.concatenate(
+            [
+                state.cloud.xyz[idx_l],
+                state.cloud.normals[idx_l],
+                state.cloud.intensity[idx_l][:, None],
+                ok_l[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )                                            # (N, 8)
+        all_d2 = lax.all_gather(d2_l, axis)          # (S, N)
+        all_pl = lax.all_gather(payload, axis)       # (S, N, 8)
+        best = jnp.argmin(all_d2, axis=0)
+        d2 = jnp.take_along_axis(all_d2, best[None], axis=0)[0]
+        pl = jnp.take_along_axis(all_pl, best[None, :, None], axis=0)[0]
+        mask = query.mask & (pl[:, 7] > 0.5) & jnp.isfinite(d2)
+        out = PointCloud(
+            jnp.where(mask[:, None], pl[:, 0:3], PAD_COORD),
+            jnp.where(mask[:, None], pl[:, 3:6], 0.0),
+            jnp.where(mask, pl[:, 6], 0.0),
+            mask,
+        )
+        if return_d2:
+            return out, jnp.where(mask, d2, jnp.inf)
+        return out
+
     d2, idx = _map_nearest(state, query.xyz, radius)
     mask = query.mask & state.cloud.mask[idx] & jnp.isfinite(d2)
     out = PointCloud(
@@ -244,6 +311,13 @@ def approx_nearest_neighbors(
 
 
 def map_size(state: MapState) -> jnp.ndarray:
+    from locus_tpu.ops.dispatch import active_shard_axis
+
+    ax = active_shard_axis()
+    if ax is not None:
+        from jax import lax
+
+        return lax.psum(state.cloud.count(), ax[0])
     return state.cloud.count()
 
 

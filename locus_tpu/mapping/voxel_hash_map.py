@@ -90,14 +90,40 @@ def insert_keyframe(
     interface parity with the ring store and ignored (dedup is
     intrinsic here)."""
     del nearest_d2
-    cap = state.cloud.capacity
+    from locus_tpu.ops.dispatch import active_shard_axis
+
+    ax = active_shard_axis()
+    local_cap = state.cloud.capacity
+    cap = local_cap * (ax[1] if ax is not None else 1)  # GLOBAL slot space
     leaf = cfg.map_voxel_leaf
     ijk = _voxel_ijk(keyframe.xyz, leaf)
     slot = _slot_of(ijk, cap)
 
-    same_voxel = state.occupied[slot] & jnp.all(state.keys[slot] == ijk, axis=1)
-    write = keyframe.mask & ~same_voxel
-    idx = jnp.where(write, slot, cap)       # cap = out of range -> dropped
+    if ax is not None:
+        # Sharded store: each slot is owned by exactly one shard. The
+        # owner answers the same-voxel test for its slots; a psum over
+        # the axis broadcasts the answers (non-owners contribute 0), so
+        # the replicated write mask agrees on every shard. Writes then
+        # land only on the owner (out-of-range indices dropped).
+        from jax import lax
+
+        off = lax.axis_index(ax[0]) * local_cap
+        in_rng = (slot >= off) & (slot < off + local_cap)
+        lslot = jnp.where(in_rng, slot - off, 0)
+        same_l = (
+            in_rng
+            & state.occupied[lslot]
+            & jnp.all(state.keys[lslot] == ijk, axis=1)
+        )
+        same_voxel = lax.psum(same_l.astype(jnp.int32), ax[0]) > 0
+        write = keyframe.mask & ~same_voxel & in_rng  # this shard's writes
+        idx = jnp.where(write, slot - off, local_cap)  # local_cap = dropped
+    else:
+        same_voxel = (
+            state.occupied[slot] & jnp.all(state.keys[slot] == ijk, axis=1)
+        )
+        write = keyframe.mask & ~same_voxel
+        idx = jnp.where(write, slot, cap)   # cap = out of range -> dropped
 
     from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
 
@@ -201,6 +227,13 @@ def approx_nearest_neighbors(
 
 
 def map_size(state: HashMapState) -> jnp.ndarray:
+    from locus_tpu.ops.dispatch import active_shard_axis
+
+    ax = active_shard_axis()
+    if ax is not None:
+        from jax import lax
+
+        return lax.psum(state.cloud.count(), ax[0])
     return state.cloud.count()
 
 

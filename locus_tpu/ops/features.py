@@ -85,6 +85,17 @@ def to_range_image(
     range_grid = jnp.full((RINGS * width + 1,), jnp.inf, jnp.float32)
     range_grid = range_grid.at[flat_idx].min(jnp.where(ok, rng, jnp.inf))
     winner = ok & (rng <= range_grid[flat_idx])
+    # Exact range ties (two points at the same distance in one cell)
+    # would otherwise leave multiple winners racing one scatter slot —
+    # an unspecified, layout-dependent xyz (ADVICE r3 #2). Break ties
+    # deterministically: scatter-min the source index among winners and
+    # keep only the lane that wins it.
+    lane = jnp.arange(cloud.capacity, dtype=jnp.int32)
+    tie_grid = jnp.full((RINGS * width + 1,), cloud.capacity, jnp.int32)
+    tie_grid = tie_grid.at[jnp.where(winner, flat_idx, RINGS * width)].min(
+        jnp.where(winner, lane, cloud.capacity)
+    )
+    winner = winner & (lane == tie_grid[flat_idx])
 
     grid = jnp.full((RINGS * width + 1, 3), PAD_COORD, jnp.float32)
     grid = grid.at[jnp.where(winner, flat_idx, RINGS * width)].set(

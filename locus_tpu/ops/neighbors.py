@@ -105,12 +105,12 @@ def nearest(
     XLA path materializes the full (N, M) matrix in HBM and is traffic-
     bound at production shapes. CPU (tests) uses the XLA path.
     """
-    from locus_tpu.ops.dispatch import pallas_allowed
+    from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
     if pallas_allowed() and query.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas
 
-        return nearest_pallas(query, target)
+        return nearest_pallas(query, target, interpret=pallas_interpret())
     if target.shape[0] <= chunk:
         d2 = pairwise_sqdist(query, target)
         idx = jnp.argmin(d2, axis=1).astype(jnp.int32)

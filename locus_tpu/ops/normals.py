@@ -167,10 +167,12 @@ def estimate_normals_radius(
         radius_moments_xla_comps,
     )
 
-    from locus_tpu.ops.dispatch import pallas_allowed
+    from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
     if pallas_allowed() and cloud.capacity >= 128:
-        count, _, cov_c = radius_moments_pallas_comps(cloud.xyz, cloud.xyz, radius)
+        count, _, cov_c = radius_moments_pallas_comps(
+            cloud.xyz, cloud.xyz, radius, interpret=pallas_interpret()
+        )
     else:
         count, _, cov_c = radius_moments_xla_comps(
             cloud.xyz, cloud.xyz, cloud.mask, radius

@@ -37,16 +37,73 @@ def make_mesh(n_devices: int | None = None, map_parallel: int | None = None) -> 
     return Mesh(grid, axis_names=("data", "map"))
 
 
+def state_pspecs(
+    state,
+    map_capacity: int,
+    n_shards: int,
+    batched: bool = False,
+    at_map_root: bool = False,
+):
+    """PartitionSpecs for a LocusState pytree under the whole-step
+    shard_map deployments (runner.make_scan_replay(mesh=) /
+    make_batched_replay(mesh=)):
+
+    - map point-axis leaves (leading point dim == map_capacity) split
+      over "map"; the cached NN operands next to them follow along their
+      point-derived axes (nn_aug (AUG, m_pad) over columns,
+      chunk_min/chunk_max (C, 3) over rows) so each shard's kernel reads
+      only local cache;
+    - everything else replicated (batched=False) or batch-sharded over
+      "data" (batched=True, leading batch axis).
+
+    Map leaves are identified by their position under the LocusState
+    `map` node AND their shapes — a future state field reusing a cache
+    leaf name outside the map node can't silently pick up the cache
+    sharding (ADVICE r3 #4).
+
+    Requires map_capacity % (n_shards * BT) == 0 (pallas_shardable):
+    every shard must tile into whole Pallas target chunks, or the
+    per-shard kernels and the incremental cache updates would disagree
+    on chunk boundaries."""
+    from locus_tpu.ops.pallas.nn import BT
+
+    if map_capacity % (n_shards * BT) != 0:
+        raise ValueError(
+            f"map_capacity {map_capacity} must be a multiple of "
+            f"n_shards*BT = {n_shards}*{BT} for the sharded deployment"
+        )
+    lead = ("data",) if batched else ()
+    k = len(lead)
+
+    def spec(path, x):
+        names = [
+            e.name for e in path if isinstance(e, jax.tree_util.GetAttrKey)
+        ]
+        # `at_map_root`: the pytree IS the MapState (specs for a bare map
+        # subtree, e.g. wrapping reanchor/refresh in shard_map)
+        in_map = at_map_root or "map" in names[:-1]
+        name = names[-1] if names else None
+        if in_map and name == "nn_aug" and x.ndim == 2 + k and x.shape[k + 1] == map_capacity:
+            return P(*lead, None, "map")
+        if (
+            in_map
+            and name in ("chunk_min", "chunk_max")
+            and x.ndim == 2 + k
+            and x.shape[k] == map_capacity // BT
+        ):
+            return P(*lead, "map")
+        if in_map and x.ndim >= 1 + k and x.shape[k] == map_capacity:
+            return P(*lead, "map")
+        return P(*lead)
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
 def batched_state_shardings(mesh: Mesh, state, map_capacity: int):
-    """Shardings for a vmapped (leading batch axis) LocusState pytree:
-    batch over "data"; the map point axis additionally over "map"."""
-
-    def spec(x):
-        if x.ndim >= 2 and x.shape[1] == map_capacity:
-            return NamedSharding(mesh, P("data", "map"))
-        return NamedSharding(mesh, P("data"))
-
-    return jax.tree_util.tree_map(spec, state)
+    """NamedShardings for a vmapped (leading batch axis) LocusState:
+    batch over "data", map point axis (and NN caches) over "map"."""
+    specs = state_pspecs(state, map_capacity, mesh.shape["map"], batched=True)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 
 def shard_batched_state(mesh: Mesh, state, map_capacity: int):
@@ -55,37 +112,11 @@ def shard_batched_state(mesh: Mesh, state, map_capacity: int):
 
 
 def single_state_shardings(mesh: Mesh, state, map_capacity: int):
-    """Shardings for an UNBATCHED LocusState: the map point axis
-    (leading dim == map_capacity) over "map", everything else
-    replicated — the explicit-collective single-sequence deployment
-    (runner.make_scan_replay(mesh=...)).
-
-    The map's cached NN operands are sharded along their point-derived
-    axes too (nn_aug (AUG, m_pad) over columns; chunk_min/chunk_max
-    (C, 3) over rows) so the per-shard Pallas kernel
-    (parallel/sharded_map.sharded_nearest_pallas) reads only local
-    cache — identified by MapState field name, not shape, to avoid
-    misfiring on unrelated leaves."""
-
-    from locus_tpu.parallel.sharded_map import pallas_shardable
-
-    cache_sharded = pallas_shardable(mesh, map_capacity, "map")
-
-    def spec(path, x):
-        name = None
-        for entry in reversed(path):
-            if isinstance(entry, jax.tree_util.GetAttrKey):
-                name = entry.name
-                break
-        if cache_sharded and name == "nn_aug" and x.ndim == 2:
-            return NamedSharding(mesh, P(None, "map"))
-        if cache_sharded and name in ("chunk_min", "chunk_max") and x.ndim == 2:
-            return NamedSharding(mesh, P("map"))
-        if x.ndim >= 1 and x.shape[0] == map_capacity:
-            return NamedSharding(mesh, P("map"))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec, state)
+    """NamedShardings for an UNBATCHED LocusState: map point axis (and
+    NN caches) over "map", everything else replicated — the big-map
+    single-sequence deployment (runner.make_scan_replay(mesh=...))."""
+    specs = state_pspecs(state, map_capacity, mesh.shape["map"], batched=False)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 
 def batch_shardings(mesh: Mesh, tree):

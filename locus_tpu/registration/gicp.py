@@ -350,7 +350,7 @@ def gicp_register(
     # outer while-loop (the target is loop-invariant; don't rely on XLA
     # LICM) and use the pruned radius-bounded kernel — hits beyond
     # corr_dist are gated anyway.
-    from locus_tpu.ops.dispatch import pallas_allowed
+    from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
     if pallas_allowed() and source.capacity >= 128:
         from locus_tpu.ops.pallas.nn import (
@@ -365,10 +365,12 @@ def gicp_register(
         # pruned visits — the per-iteration visit prep is cheaper than
         # the extra chunk dots it avoids).
         c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
+        interp = pallas_interpret()
 
         def nearest_fn(p):
             d2, j = nearest_pallas_bounded_pre(
-                p, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist)
+                p, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist),
+                interpret=interp,
             )
             return jnp.where(jnp.isfinite(d2), d2, 1e12), j
     else:

@@ -680,9 +680,13 @@ def ndt_register(
         # Newton+MT then polishes with the reference's exact scheme.
         warm = min(cfg.ndt_newton_warmstart, cfg.iterations)
         carry = lax.while_loop(cond_until(warm), make_outer_body(False), init)
+        # Re-open convergence for the Newton phase — but only when that
+        # phase can actually run: if the warm phase exhausted the full
+        # iteration budget, carry its own delta through so a converged
+        # warm solve still reports converged (ADVICE r3 #1).
         carry = (
             carry[0], carry[1],
-            jnp.asarray(jnp.inf, jnp.float32),   # re-open convergence
+            jnp.where(carry[1] < cfg.iterations, jnp.inf, carry[2]),
             carry[3], carry[4],
         )
         T_fin, iters, delta, fitness, ncorr = lax.while_loop(
@@ -700,7 +704,7 @@ def ndt_register(
     # the full (N x M) HBM distance matrix.
     p_fin = se3.transform_points(final, source.xyz)
     p_fin = jnp.where(source.mask[:, None], p_fin, source.xyz)
-    from locus_tpu.ops.dispatch import pallas_allowed
+    from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
     if pallas_allowed() and source.capacity >= 128:
         from locus_tpu.ops.pallas.nn import (
@@ -712,7 +716,8 @@ def ndt_register(
         t_aug = build_nn_target(target.xyz)
         c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
         d2_fin, j_fin = nearest_pallas_bounded_pre(
-            p_fin, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist)
+            p_fin, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist),
+            interpret=pallas_interpret(),
         )
         d2_fin = jnp.where(jnp.isfinite(d2_fin), d2_fin, 1e12)
     else:

@@ -95,19 +95,7 @@ def pack_sequence(seq: Sequence, cfg: LocusConfig, max_scans: Optional[int] = No
     )
 
 
-def make_scan_replay(cfg: LocusConfig, mesh=None):
-    """Device-side replay: one compiled program runs the whole sequence
-    via lax.scan (amortizes host dispatch — the bench path). Returns
-    replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
-    map_sizes (T,))).
-
-    `mesh`: a ("data","map") Mesh to run ONE sequence with its map point
-    store sharded over the "map" axis using EXPLICIT collectives
-    (parallel/sharded_map.py shard-local top-k + all_gather) — the
-    big-map spatial-parallel deployment (one robot, map larger than one
-    chip). Shard the map-axis state arrays with
-    parallel.mesh.single_state_shardings first."""
-
+def _replay_body(cfg: LocusConfig):
     def body(state, inp):
         fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
         fuse = fusion.push_odom_batch(fuse, inp["odom_s"], inp["odom_p"])
@@ -120,6 +108,27 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
         )
         state, out = pipeline.step(state, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
         return state, (out.pose, out.condition_number, out.map_size)
+
+    return body
+
+
+def make_scan_replay(cfg: LocusConfig, mesh=None):
+    """Device-side replay: one compiled program runs the whole sequence
+    via lax.scan (amortizes host dispatch — the bench path). Returns
+    replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
+    map_sizes (T,))).
+
+    `mesh`: a ("data","map") Mesh to run ONE sequence with its map point
+    store sharded over the "map" axis — the big-map spatial-parallel
+    deployment (one robot, map larger than one chip). The WHOLE step
+    runs inside jax.shard_map: scan-local arrays are replicated (every
+    shape inside the body is shard-local and static, so every Pallas
+    kernel runs exactly as on a single chip — the "fast at every
+    parallelism degree" contract of multithreaded_gicp/gicp.hpp:463-498)
+    and the mapping layer merges its per-shard results with explicit
+    all_gather/psum collectives (dispatch.shard_axis context). Shard the
+    state with parallel.mesh.single_state_shardings first."""
+    body = _replay_body(cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def _replay(state, packed):
@@ -128,62 +137,107 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
     if mesh is None:
         return _replay
 
-    from locus_tpu.ops.dispatch import map_mesh, no_pallas
+    from jax.sharding import PartitionSpec as P
+
+    from locus_tpu.ops.dispatch import shard_axis
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    n_shards = mesh.shape["map"]
+
+    def inner(state, packed):
+        with shard_axis("map", n_shards):
+            return jax.lax.scan(body, state, packed)
+
+    cache = {}
 
     def replay(state, packed):
-        # The map 1-NN routes through parallel/sharded_map: shard-local
-        # Pallas bounded kernel inside shard_map (interpret on CPU
-        # meshes) + all_gather merge — the hot big-map kernel stays fast
-        # when sharded. no_pallas() applies only to the remaining
-        # SCAN-local kernels (GICP correspondences, moments), whose
-        # replicated pallas_calls GSPMD would otherwise have to wrap.
-        with map_mesh(mesh), no_pallas():
-            return _replay(state, packed)
+        key = jax.tree_util.tree_structure((state, packed))
+        if key not in cache:
+            specs = mesh_lib.state_pspecs(
+                state, cfg.mapper.map_capacity, n_shards
+            )
+            fn = jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(specs, P()),
+                out_specs=(specs, P()),
+                check_vma=False,
+            )
+            cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return cache[key](state, packed)
 
     return replay
 
 
-def make_batched_replay(cfg: LocusConfig, use_pallas: Optional[bool] = None):
+def make_batched_replay(
+    cfg: LocusConfig, mesh=None, use_pallas: Optional[bool] = None
+):
     """Multi-sequence batch replay (the pod-scale DP axis, SURVEY §2.2
-    multi-robot row): vmap over a leading sequence axis; shard the batch
-    over the mesh "data" axis and the map store over "map" via the
-    shardings from parallel.mesh.
+    multi-robot row): vmap over a leading sequence axis.
 
-    `use_pallas`: None (default) keeps the Pallas kernels on TPU — their
-    custom-vmap rules lower the whole batch to single kernels with a
-    batch grid dimension (ops/pallas/nn.py _visits_nn, moments.py
-    _moments_call). Pass False when the map point axis is sharded over
-    the mesh "map" axis: GSPMD can partition the XLA kernel paths but
-    would have to gather the map shards around a pallas_call."""
+    `mesh`: a ("data","map") Mesh to shard the batch over "data" and
+    each sequence's map point store over "map". As in make_scan_replay,
+    the whole vmapped program runs inside jax.shard_map: each device
+    vmaps over its LOCAL batch slice with shard-local static shapes, so
+    the Pallas kernels' custom-vmap rules lower the local batch to
+    single kernels with a batch grid dimension — no GSPMD partitioning
+    of pallas_call, no fallback paths. Shard states with
+    parallel.mesh.batched_state_shardings and packed inputs with
+    P(None, "data") first.
 
-    def body(state, inp):
-        fuse = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
-        fuse = fusion.push_odom_batch(fuse, inp["odom_s"], inp["odom_p"])
-        state = state._replace(fuse=fuse)
-        raw = PointCloud(
-            jnp.where(inp["scan_mask"][:, None], inp["scan_xyz"], PAD_COORD),
-            jnp.zeros_like(inp["scan_xyz"]),
-            jnp.zeros(inp["scan_xyz"].shape[0], jnp.float32),
-            inp["scan_mask"],
-        )
-        state, out = pipeline.step(state, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
-        return state, (out.pose, out.condition_number, out.map_size)
+    `use_pallas` (mesh=None only): None follows dispatch.pallas_allowed
+    (TPU on, CPU off); False forces the XLA paths (ablation)."""
+    body = _replay_body(cfg)
 
     def replay_one(state, packed):
         return jax.lax.scan(body, state, packed)
 
-    # batch axis: state pytree leading dim, packed arrays (B, T, ...)
+    # batch axis: state pytree leading dim, packed arrays (T, B, ...)
     vreplay = jax.vmap(replay_one, in_axes=(0, 1), out_axes=(0, 1))
 
-    _jitted = partial(jax.jit, donate_argnums=(0,))(vreplay)
+    if mesh is None:
+        _jitted = partial(jax.jit, donate_argnums=(0,))(vreplay)
+
+        def replay(states, packed):
+            from locus_tpu.ops.dispatch import no_pallas, pallas_allowed
+
+            if use_pallas or (use_pallas is None and pallas_allowed()):
+                return _jitted(states, packed)
+            with no_pallas():
+                return _jitted(states, packed)
+
+        return replay
+
+    from jax.sharding import PartitionSpec as P
+
+    from locus_tpu.ops.dispatch import shard_axis
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    n_shards = mesh.shape["map"]
+
+    def inner(states, packed):
+        if n_shards > 1:
+            with shard_axis("map", n_shards):
+                return vreplay(states, packed)
+        return vreplay(states, packed)
+
+    cache = {}
 
     def replay(states, packed):
-        from locus_tpu.ops.dispatch import no_pallas, pallas_allowed
-
-        if use_pallas or (use_pallas is None and pallas_allowed()):
-            return _jitted(states, packed)
-        with no_pallas():
-            return _jitted(states, packed)
+        key = jax.tree_util.tree_structure((states, packed))
+        if key not in cache:
+            specs = mesh_lib.state_pspecs(
+                states, cfg.mapper.map_capacity, n_shards, batched=True
+            )
+            fn = jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(specs, P(None, "data")),
+                out_specs=(specs, P(None, "data")),
+                check_vma=False,
+            )
+            cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return cache[key](states, packed)
 
     return replay
 

@@ -9,6 +9,14 @@ until compute saturates. The Pallas kernels stay on the fast path via
 their custom-vmap rules (one kernel launch per stage with a batch grid
 dimension).
 
+Timing methodology (r4, after the r3 variance post-mortem): the state
+build + device upload (B x ~10 MB map state, expensive and jittery
+through the dev-box relay) is FENCED OUT of the timed region with a
+jitted touch-reduction over the largest state leaf — r3 timed it
+implicitly and saw +/-15 % at B=1 while blaming host packing (which was
+never in the region). >=5 repetitions per B; median with min/max band
+reported, never best-of.
+
 Usage: python tools/batched_bench.py [--batch 1 2 4 8] [--scans 48]
 """
 import argparse
@@ -25,6 +33,7 @@ def main():
     ap.add_argument("--batch", nargs="*", type=int, default=[1, 2, 4, 8])
     ap.add_argument("--scans", type=int, default=48)
     ap.add_argument("--warmup", type=int, default=12)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -90,23 +99,41 @@ def main():
         _, (poses, _, _) = replay(fresh_states(), warm)
         np.asarray(poses)  # fence (relay block_until_ready returns early)
 
-        best = 0.0
-        for _ in range(2):
+        @jax.jit
+        def touch(x):
+            return jnp.sum(x)
+
+        rates, upload_s = [], []
+        for _ in range(args.reps):
+            tu = time.perf_counter()
             st = fresh_states()
+            # fence the state upload OUT of the timed region: a jitted
+            # reduction over the largest leaf depends on its upload, and
+            # its host fetch serializes behind the rest of the stream
+            np.asarray(touch(st.map.nn_aug))
+            np.asarray(st.previous_stamp)
+            upload_s.append(time.perf_counter() - tu)
             t0 = time.perf_counter()
             _, (poses, _, _) = replay(st, packed)
             np.asarray(poses)
             dt = time.perf_counter() - t0
-            best = max(best, B * args.scans / dt)
+            rates.append(B * args.scans / dt)
+        rates = np.asarray(rates)
         # trajectory sanity on sequence 0
         gt = seqs[0].gt_poses[: args.scans]
         est = np.asarray(poses)[:, 0]
         ate = float(
             np.sqrt(np.mean(np.sum((est[:, :3, 3] - gt[:, :3, 3]) ** 2, axis=1)))
         )
+        med = float(np.median(rates))
         results[str(B)] = {
-            "agg_scans_per_sec": round(best, 2),
-            "per_seq_scans_per_sec": round(best / B, 2),
+            "agg_scans_per_sec": round(med, 2),
+            "agg_min": round(float(rates.min()), 2),
+            "agg_max": round(float(rates.max()), 2),
+            "agg_std": round(float(rates.std()), 2),
+            "reps": int(args.reps),
+            "per_seq_scans_per_sec": round(med / B, 2),
+            "state_upload_s_median": round(float(np.median(upload_s)), 3),
             "ate_seq0_m": round(ate, 4),
         }
         print(json.dumps({f"B={B}": results[str(B)]}), flush=True)

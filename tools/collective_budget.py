@@ -73,10 +73,15 @@ def collective_bytes(hlo_text: str):
         if m and not stripped.startswith("ROOT"):
             comp = m.group(1)
         for kind in _COLLECTIVES:
-            # match "= <shape> all-gather(" — the op's OUTPUT payload
+            # match "= <shape> all-gather(" — the op's OUTPUT payload.
+            # Async pairs: count only the -done half (the -start half's
+            # tuple shape repeats the payload plus operand buffers and
+            # would double-count it — ADVICE r3 #3).
+            if f"{kind}-start(" in stripped:
+                continue
             om = re.search(
                 r"=\s*((?:\([^)]*\))|(?:\w+\[[\d,]*\](?:\{[\d,]*\})?))\s*"
-                + kind + r"(?:-start|-done)?\(",
+                + kind + r"(?:-done)?\(",
                 stripped,
             )
             if om:
@@ -111,12 +116,13 @@ def main():
     from locus_tpu.config import LocusConfig, MapperConfig
     from locus_tpu.io.dataset import make_tunnel_sequence
     from locus_tpu.parallel import mesh as mesh_lib
+    from jax.sharding import PartitionSpec as P
+
     from locus_tpu.parallel.sharded_map import pallas_shardable
-    from locus_tpu.runner import make_replay_step, pack_sequence
-    from locus_tpu.ops.dispatch import map_mesh, no_pallas
+    from locus_tpu.runner import pack_sequence
+    from locus_tpu.ops.dispatch import shard_axis
     from locus_tpu import fusion
     from locus_tpu.core.cloud import PointCloud, PAD_COORD
-    from functools import partial
 
     cfg = LocusConfig(
         scan_capacity=args.scan_capacity,
@@ -147,12 +153,22 @@ def main():
         st, out = pipeline.step(st, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
         return st, (out.pose, out.condition_number, out.map_size)
 
-    def replay(st, pk):
-        return jax.lax.scan(body, st, pk)
+    # the production sharded deployment: whole-step shard_map (see
+    # runner.make_scan_replay(mesh=)) — mapping-layer collectives only,
+    # scan-local work replicated
+    def inner(st, pk):
+        with shard_axis("map", args.map_parallel):
+            return jax.lax.scan(body, st, pk)
 
-    with map_mesh(mesh), no_pallas():
-        lowered = jax.jit(replay).lower(state, packed)
-        compiled = lowered.compile()
+    specs = mesh_lib.state_pspecs(
+        state, cfg.mapper.map_capacity, args.map_parallel
+    )
+    fn = jax.shard_map(
+        inner, mesh=mesh, in_specs=(specs, P()), out_specs=(specs, P()),
+        check_vma=False,
+    )
+    lowered = jax.jit(fn).lower(state, packed)
+    compiled = lowered.compile()
     hlo = compiled.as_text()
 
     per_comp = collective_bytes(hlo)

@@ -130,6 +130,96 @@ def run_pipeline_mode(args):
         )
 
 
+def run_ckpt_mode(args):
+    """Distributed checkpoint/resume (VERDICT r3 missing #3): phase
+    "ckpt_save" replays the first half of the sequence with the map
+    sharded ACROSS the two processes, then each process saves ONLY its
+    addressable shards and exits (the "kill"). A fresh 2-process launch
+    with "ckpt_resume" restores per-process and replays the second half
+    — the trajectory must equal the uninterrupted single-process replay.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from locus_tpu import checkpoint, pipeline
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel import mesh as mesh_lib
+    from locus_tpu.parallel.distributed import fetch_replicated, make_global
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    cfg = tiny_pipeline_config()
+    seq = make_tunnel_sequence(num_scans=8, azimuth_steps=128, step=0.35, seed=5)
+    packed = jax.tree_util.tree_map(np.asarray, pack_sequence(seq, cfg))
+    half = 4
+
+    n = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()).reshape(1, n), ("data", "map"))
+
+    def fresh_global_state():
+        st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+        host = jax.tree_util.tree_map(np.asarray, st)
+        sh = mesh_lib.single_state_shardings(mesh, host, cfg.mapper.map_capacity)
+        return make_global(mesh, host, sh)
+
+    def global_packed(pk):
+        return make_global(
+            mesh, pk,
+            jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), pk),
+        )
+
+    sh_replay = make_scan_replay(cfg, mesh=mesh)
+
+    if args.mode == "ckpt_save":
+        gstate = fresh_global_state()
+        pk1 = global_packed({k: v[:half] for k, v in packed.items()})
+        gstate, (poses1, _, _) = sh_replay(gstate, pk1)
+        _ = fetch_replicated(poses1)
+        written = checkpoint.save_state_sharded(args.ckpt, gstate)
+        if jax.process_index() == 0:
+            print(json.dumps({
+                "mode": "ckpt_save",
+                "processes": jax.process_count(),
+                "scans_before_kill": half,
+                "wrote": written,
+            }))
+        return
+
+    # ckpt_resume: fresh processes, restore, continue
+    template = fresh_global_state()
+    gstate = checkpoint.load_state_sharded(args.ckpt, template)
+    pk2 = global_packed({k: v[half:] for k, v in packed.items()})
+    gstate, (poses2, _, sizes2) = sh_replay(gstate, pk2)
+    poses2 = fetch_replicated(poses2)
+    sizes2 = fetch_replicated(sizes2)
+
+    # uninterrupted single-process reference on the local device
+    ref_replay = make_scan_replay(cfg)
+    st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+    st = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+    _, (poses_ref, _, sizes_ref) = ref_replay(
+        st, jax.tree_util.tree_map(jnp.asarray, packed)
+    )
+    poses_ref = np.asarray(poses_ref)[half:]
+    sizes_ref = np.asarray(sizes_ref)[half:]
+
+    pose_err = float(np.max(np.abs(poses2 - poses_ref)))
+    sizes_equal = bool(np.array_equal(sizes2, sizes_ref))
+    assert pose_err < 1e-4, pose_err
+    assert sizes_equal, (sizes2.tolist(), sizes_ref.tolist())
+
+    if jax.process_index() == 0:
+        print(json.dumps({
+            "mode": "ckpt_resume",
+            "processes": jax.process_count(),
+            "resumed_scans": int(poses2.shape[0]),
+            "max_pose_err_vs_uninterrupted": pose_err,
+            "map_sizes_equal": sizes_equal,
+            "final_map_size": int(sizes2[-1]),
+        }))
+
+
 def run_dp_mode(args):
     """BATCHED replay with the batch ("data") axis across processes and
     genuine host-role feeding: each process packs ONLY the sequences
@@ -323,7 +413,13 @@ def main():
     ap.add_argument("--coordinator", required=True)
     ap.add_argument("--num-processes", type=int, required=True)
     ap.add_argument("--process-id", type=int, required=True)
-    ap.add_argument("--mode", choices=("sum", "pipeline", "dp"), default="sum")
+    ap.add_argument(
+        "--mode",
+        choices=("sum", "pipeline", "dp", "ckpt_save", "ckpt_resume"),
+        default="sum",
+    )
+    ap.add_argument("--ckpt", default="/tmp/locus_ckpt",
+                    help="checkpoint path prefix for ckpt_* modes")
     args = ap.parse_args()
 
     import jax
@@ -346,6 +442,8 @@ def main():
         run_pipeline_mode(args)
     elif args.mode == "dp":
         run_dp_mode(args)
+    elif args.mode in ("ckpt_save", "ckpt_resume"):
+        run_ckpt_mode(args)
     else:
         run_sum_mode(args)
 
