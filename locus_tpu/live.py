@@ -21,7 +21,7 @@ from locus_tpu import checkpoint as ckpt_mod
 from locus_tpu import diagnostics, pipeline
 from locus_tpu.config import LocusConfig
 from locus_tpu.publisher import FixedRatePublisher
-from locus_tpu.runner import make_replay_step
+from locus_tpu.runner import make_live_step  # noqa: F401  (re-export for API compat)
 
 
 @dataclass
@@ -60,7 +60,11 @@ class LiveSession:
     map_sink: Optional[object] = None
 
     def __post_init__(self):
-        self._rstep = make_replay_step(self.cfg)
+        from locus_tpu.runner import make_live_step
+
+        self._rstep, self._aux_len = make_live_step(
+            self.cfg, self.imu_window, self.odom_window
+        )
         # config-driven GT-map bootstrap (InitWithGTPointCloud) included
         state = pipeline.init_state_from_config(
             self.cfg,
@@ -135,15 +139,30 @@ class LiveSession:
             odo_s, odo_p = self._drain(
                 self._odom_queue, self.odom_window, (4, 4), eye=True
             )
-            self.state, out = self._rstep(
-                self.state,
-                jnp.asarray(packed_xyz), jnp.asarray(mask),
-                jnp.asarray(stamp, jnp.float32),
-                jnp.asarray(imu_s), jnp.asarray(imu_q),
-                jnp.asarray(odo_s), jnp.asarray(odo_p),
-                jnp.asarray(self._scan_count, jnp.int32),
+            # ONE upload (scan+mask packed (cap,4), sensor windows in one
+            # aux vector) and ONE fetch (packed outputs) per scan — each
+            # extra buffer transfer is a full round trip on remote-hosted
+            # devices (runner.make_live_step).
+            xyzm = np.concatenate(
+                [packed_xyz, mask[:, None].astype(np.float32)], axis=1
             )
-            pose = np.asarray(out.pose)
+            aux = np.concatenate(
+                [
+                    np.asarray(
+                        [stamp, float(self._scan_count)], np.float32
+                    ),
+                    imu_s.ravel(), imu_q.ravel().astype(np.float32),
+                    odo_s.ravel(), odo_p.ravel().astype(np.float32),
+                ]
+            ).astype(np.float32)
+            assert aux.size == self._aux_len, (aux.size, self._aux_len)
+            self.state, packed_out = self._rstep(
+                self.state, jnp.asarray(xyzm), jnp.asarray(aux)
+            )
+            from locus_tpu.runner import unpack_live_output
+
+            out = unpack_live_output(np.asarray(packed_out))
+            pose = out.pose
 
         self._scan_count += 1
         if bool(out.keyframe_inserted):
@@ -241,7 +260,11 @@ class LiveSession:
                     "session (optionally resumed from a checkpoint)"
                 )
         self.cfg = new_cfg
-        self._rstep = make_replay_step(new_cfg)
+        from locus_tpu.runner import make_live_step
+
+        self._rstep, self._aux_len = make_live_step(
+            new_cfg, self.imu_window, self.odom_window
+        )
 
     def set_voxel_leaf(self, leaf: float):
         """Override the input-voxelization leaf size directly in device

@@ -115,6 +115,7 @@ def _map_nearest(state: MapState, query_xyz: jnp.ndarray, radius: float = 2.0):
 def insert_keyframe(
     state: MapState, keyframe: PointCloud, cfg: MapperConfig,
     nearest_d2: jnp.ndarray | None = None,
+    enabled: jnp.ndarray | None = None,
 ) -> MapState:
     """Insert a world-frame keyframe cloud (mapper_->InsertPoints,
     Locus.cc:523-529). Novelty gate: keep only points farther than
@@ -123,13 +124,22 @@ def insert_keyframe(
 
     `nearest_d2` optionally supplies precomputed per-point distances to
     the map (the pipeline reuses the ApproxNearestNeighbors result from
-    the same scan — saves a full map 1-NN pass)."""
+    the same scan — saves a full map 1-NN pass).
+
+    `enabled` (traced bool): masked no-op when False — the pipeline
+    calls this UNCONDITIONALLY per scan instead of under lax.cond,
+    because a cond carrying the ~10 MB map state costs ~0.5 ms/scan on
+    TPU in branch double-buffering even when the predicate is false
+    (measured, tools/exp_gap2.py r4), while the masked window-merge is
+    a fused elementwise pass."""
     from locus_tpu.ops.dispatch import active_shard_axis
 
     leaf2 = cfg.map_voxel_leaf * cfg.map_voxel_leaf
     if nearest_d2 is None:
         nearest_d2, _ = _map_nearest(state, keyframe.xyz, cfg.ann_search_radius)
     novel = keyframe.mask & (nearest_d2 > leaf2)
+    if enabled is not None:
+        novel = novel & enabled
 
     kf = keyframe.with_mask(novel).compact()     # novel points to the front
     k = kf.capacity
@@ -138,70 +148,152 @@ def insert_keyframe(
     cap = local_cap * (ax[1] if ax is not None else 1)  # GLOBAL ring size
     n_novel = kf.count()
 
-    # Global ring slots — identical on every shard (write_ptr and the
-    # novelty mask are replicated), so each shard independently derives
-    # which writes land in its slice.
-    slot = (state.write_ptr + jnp.arange(k, dtype=jnp.int32)) % cap
-    if ax is not None:
-        from jax import lax
-
-        off = lax.axis_index(ax[0]) * local_cap
-        mine = kf.mask & (slot >= off) & (slot < off + local_cap)
-        # Only this shard's slots carry data; the rest go out of range
-        # (= local_cap) and are dropped by the scatters.
-        write_idx = jnp.where(mine, slot - off, local_cap)
-        valid = mine
-    else:
-        # Only the first n_novel slots carry data; drop the rest so
-        # stale map entries are not clobbered by padding.
-        write_idx = jnp.where(kf.mask, slot, cap)
-        valid = kf.mask
+    # The ring write region is CONTIGUOUS and, by construction, never
+    # wraps: when fewer than k slots remain before the end of the ring,
+    # the pointer restarts at 0 (the skipped tail keeps its OLDER points
+    # — still valid map content, just not overwritten this cycle; ring
+    # age ordering is approximate anyway, retention is governed by the
+    # MSW eviction). A non-wrapping window makes the insert a K-wide
+    # dynamic_slice -> merge -> dynamic_update_slice on every array —
+    # window-only traffic (~3 MB), no scatter, no full-array pass.
+    # Measured history (tools/exp_gap2.py r4): lax.cond insert ~1.1
+    # ms/scan (branch copies), lane-dim scatter ~0.45 ms, window-gather
+    # merge ~2.5 ms, full-array roll RMW ~0.7 ms, this ~0.1 ms. Under
+    # shard_map the ring is split across shards so a windowed RMW is
+    # unavailable; the sharded path keeps the owner-shard scatter
+    # (insert cost there is dwarfed by the sharded ANN win it buys).
+    from jax import lax
 
     from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
 
     cloud = state.cloud
-    new_cloud = PointCloud(
-        cloud.xyz.at[write_idx].set(kf.xyz, mode="drop"),
-        cloud.normals.at[write_idx].set(kf.normals, mode="drop"),
-        cloud.intensity.at[write_idx].set(kf.intensity, mode="drop"),
-        cloud.mask.at[write_idx].set(valid, mode="drop"),
+    winmask = jnp.arange(k, dtype=jnp.int32) < n_novel
+    kf_inc = (
+        jnp.asarray(1, jnp.int32)
+        if enabled is None
+        else enabled.astype(jnp.int32)
     )
-    nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, valid)
+    assert k <= cap, (k, cap)
+    ptr = jnp.where(state.write_ptr > cap - k, 0, state.write_ptr)
+
+    if ax is None:
+        def merge0(arr, newvals):
+            """RMW the [ptr, ptr+k) window of `arr` (axis 0); only lanes
+            where winmask holds are read from newvals."""
+            start = (ptr,) + (0,) * (arr.ndim - 1)
+            win = lax.dynamic_slice(arr, start, (k,) + arr.shape[1:])
+            w = winmask if arr.ndim == 1 else winmask[:, None]
+            return lax.dynamic_update_slice(
+                arr, jnp.where(w, newvals, win), start
+            )
+
+        new_cloud = PointCloud(
+            merge0(cloud.xyz, kf.xyz),
+            merge0(cloud.normals, kf.normals),
+            merge0(cloud.intensity, kf.intensity),
+            merge0(cloud.mask, winmask),
+        )
+        kf_index = merge0(
+            state.kf_index,
+            jnp.broadcast_to(state.num_keyframes, (k,)).astype(jnp.int32),
+        )
+        # cached NN operand: same windowed RMW along the column axis
+        # (ptr + k <= cap <= m_pad, so the BT-padding tail is never
+        # touched)
+        kf_cols = jnp.concatenate(
+            [
+                -2.0 * kf.xyz.T,
+                jnp.sum(kf.xyz * kf.xyz, axis=1)[None, :],
+                jnp.zeros((state.nn_aug.shape[0] - 4, k), jnp.float32),
+            ],
+            axis=0,
+        )                                         # (AUG, k)
+        a_win = lax.dynamic_slice(
+            state.nn_aug, (0, ptr), (state.nn_aug.shape[0], k)
+        )
+        nn_aug = lax.dynamic_update_slice(
+            state.nn_aug,
+            jnp.where(winmask[None, :], kf_cols, a_win),
+            (0, ptr),
+        )
+
+        slot = ptr + jnp.arange(k, dtype=jnp.int32)
+        box_idx = jnp.where(kf.mask, slot, cap)
+        box_valid = kf.mask
+    else:
+        # sharded: owner-shard scatter with global->local slot indices
+        off = lax.axis_index(ax[0]) * local_cap
+        slot = ptr + jnp.arange(k, dtype=jnp.int32)
+        mine = kf.mask & (slot >= off) & (slot < off + local_cap)
+        write_idx = jnp.where(mine, slot - off, local_cap)
+        new_cloud = PointCloud(
+            cloud.xyz.at[write_idx].set(kf.xyz, mode="drop"),
+            cloud.normals.at[write_idx].set(kf.normals, mode="drop"),
+            cloud.intensity.at[write_idx].set(kf.intensity, mode="drop"),
+            cloud.mask.at[write_idx].set(mine, mode="drop"),
+        )
+        nn_aug = update_nn_target(state.nn_aug, write_idx, kf.xyz, mine)
+        kf_index = state.kf_index.at[write_idx].set(
+            state.num_keyframes, mode="drop"
+        )
+        box_idx = write_idx
+        box_valid = mine
+
+    # chunk bounding boxes: grow by per-chunk min/max of the window
+    # slots (small (C,3) target; scatter-min into it is cheap). Indices
+    # are LOCAL under shard_map.
     c_min, c_max = update_chunk_boxes(
-        state.chunk_min, state.chunk_max, write_idx, kf.xyz, valid
+        state.chunk_min, state.chunk_max, box_idx, kf.xyz, box_valid
     )
     return MapState(
         cloud=new_cloud,
-        write_ptr=(state.write_ptr + n_novel.astype(jnp.int32)) % cap,
-        num_keyframes=state.num_keyframes + 1,
+        write_ptr=ptr + n_novel.astype(jnp.int32),
+        num_keyframes=state.num_keyframes + kf_inc,
         last_refresh_position=state.last_refresh_position,
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,
-        kf_index=state.kf_index.at[write_idx].set(
-            state.num_keyframes, mode="drop"
-        ),
+        kf_index=kf_index,
     )
 
 
 def refresh_msw(
-    state: MapState, position: jnp.ndarray, cfg: MapperConfig
+    state: MapState, position: jnp.ndarray, cfg: MapperConfig,
+    enabled: jnp.ndarray | None = None,
 ) -> MapState:
     """Map-sliding-window refresh (mapper_->Refresh, Locus.cc:536-538):
     evict stored points outside a box_filter_size box centered on the
     robot. Caller decides *when* (moved > translation_threshold_msw and
-    velocity low — pipeline.py)."""
-    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
+    velocity low — pipeline.py) via `enabled`; like insert_keyframe,
+    this runs UNCONDITIONALLY as a masked pass because a lax.cond over
+    the map state costs ~0.5 ms/scan in branch copies (exp_gap2 r4).
 
+    Cache maintenance is incremental, not a rebuild: evicted points'
+    cached NN columns get their |t|^2 row set to +inf (their score can
+    then never win — same dead-column contract as the BT padding), and
+    the chunk boxes are recomputed exactly from the kept points (a
+    masked reduction, ~3 MB — which also re-TIGHTENS boxes grown
+    conservatively by inserts)."""
+    from locus_tpu.ops.pallas.nn import chunk_boxes
+
+    if enabled is None:
+        enabled = jnp.asarray(True)
     half = cfg.box_filter_size * 0.5
     inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
-    keep = state.cloud.mask & inside
+    keep = state.cloud.mask & (inside | ~enabled)
+    evicted = state.cloud.mask & ~keep
     cloud = state.cloud.with_mask(keep)
-    nn_aug = build_nn_target(cloud.xyz)
-    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
+    m_pad = state.nn_aug.shape[1]
+    ev_pad = jnp.pad(evicted, (0, m_pad - evicted.shape[0]))
+    nn_aug = state.nn_aug.at[3].set(
+        jnp.where(ev_pad, jnp.inf, state.nn_aug[3])
+    )
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, m_pad)
     return state._replace(
         cloud=cloud,
-        last_refresh_position=position,
+        last_refresh_position=jnp.where(
+            enabled, position, state.last_refresh_position
+        ),
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,

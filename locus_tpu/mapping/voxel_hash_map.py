@@ -80,6 +80,7 @@ def _slot_of(ijk: jnp.ndarray, capacity: int) -> jnp.ndarray:
 def insert_keyframe(
     state: HashMapState, keyframe: PointCloud, cfg: MapperConfig,
     nearest_d2: jnp.ndarray | None = None,
+    enabled: jnp.ndarray | None = None,
 ) -> HashMapState:
     """InsertPoints: scatter each keyframe point into its voxel slot.
 
@@ -88,7 +89,9 @@ def insert_keyframe(
     keeps the original point — exactly the reference octree's 'first
     return per resolution cell' retention. `nearest_d2` is accepted for
     interface parity with the ring store and ignored (dedup is
-    intrinsic here)."""
+    intrinsic here). `enabled`: masked no-op when False (see
+    keyframe_map.insert_keyframe — avoids the lax.cond branch-copy
+    cost)."""
     del nearest_d2
     from locus_tpu.ops.dispatch import active_shard_axis
 
@@ -117,12 +120,16 @@ def insert_keyframe(
         )
         same_voxel = lax.psum(same_l.astype(jnp.int32), ax[0]) > 0
         write = keyframe.mask & ~same_voxel & in_rng  # this shard's writes
+        if enabled is not None:
+            write = write & enabled
         idx = jnp.where(write, slot - off, local_cap)  # local_cap = dropped
     else:
         same_voxel = (
             state.occupied[slot] & jnp.all(state.keys[slot] == ijk, axis=1)
         )
         write = keyframe.mask & ~same_voxel
+        if enabled is not None:
+            write = write & enabled
         idx = jnp.where(write, slot, cap)   # cap = out of range -> dropped
 
     from locus_tpu.ops.pallas.nn import update_chunk_boxes, update_nn_target
@@ -137,11 +144,16 @@ def insert_keyframe(
     c_min, c_max = update_chunk_boxes(
         state.chunk_min, state.chunk_max, idx, keyframe.xyz, write
     )
+    kf_inc = (
+        jnp.asarray(1, jnp.int32)
+        if enabled is None
+        else enabled.astype(jnp.int32)
+    )
     return HashMapState(
         cloud=new_cloud,
         keys=state.keys.at[idx].set(ijk, mode="drop"),
         occupied=state.occupied.at[idx].set(True, mode="drop"),
-        num_keyframes=state.num_keyframes + 1,
+        num_keyframes=state.num_keyframes + kf_inc,
         last_refresh_position=state.last_refresh_position,
         nn_aug=update_nn_target(state.nn_aug, idx, keyframe.xyz, write),
         chunk_min=c_min,
@@ -151,21 +163,34 @@ def insert_keyframe(
 
 
 def refresh_msw(
-    state: HashMapState, position: jnp.ndarray, cfg: MapperConfig
+    state: HashMapState, position: jnp.ndarray, cfg: MapperConfig,
+    enabled: jnp.ndarray | None = None,
 ) -> HashMapState:
-    """Refresh: evict slots outside the MSW box (frees them for reuse)."""
-    from locus_tpu.ops.pallas.nn import build_nn_target, chunk_boxes
+    """Refresh: evict slots outside the MSW box (frees them for reuse).
+    Masked pass like the ring store's (see keyframe_map.refresh_msw):
+    evicted slots' cached NN columns are inf-marked, boxes recomputed
+    exactly — no lax.cond, no full operand rebuild."""
+    from locus_tpu.ops.pallas.nn import chunk_boxes
 
+    if enabled is None:
+        enabled = jnp.asarray(True)
     half = cfg.box_filter_size * 0.5
     inside = jnp.all(jnp.abs(state.cloud.xyz - position[None, :]) <= half, axis=-1)
-    keep = state.cloud.mask & inside
+    keep = state.cloud.mask & (inside | ~enabled)
+    evicted = state.cloud.mask & ~keep
     cloud = state.cloud.with_mask(keep)
-    nn_aug = build_nn_target(cloud.xyz)
-    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, nn_aug.shape[1])
+    m_pad = state.nn_aug.shape[1]
+    ev_pad = jnp.pad(evicted, (0, m_pad - evicted.shape[0]))
+    nn_aug = state.nn_aug.at[3].set(
+        jnp.where(ev_pad, jnp.inf, state.nn_aug[3])
+    )
+    c_min, c_max = chunk_boxes(cloud.xyz, cloud.mask, m_pad)
     return state._replace(
         cloud=cloud,
         occupied=keep,
-        last_refresh_position=position,
+        last_refresh_position=jnp.where(
+            enabled, position, state.last_refresh_position
+        ),
         nn_aug=nn_aug,
         chunk_min=c_min,
         chunk_max=c_max,

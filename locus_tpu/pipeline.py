@@ -366,12 +366,22 @@ def step(
     is_first = state.stats.scan_count == 0
     want_keyframe = (is_first | moved) & bool(cfg.b_add_keyframes_enabled)
 
+    # Map updates run UNCONDITIONALLY as masked passes (enabled=flag):
+    # a lax.cond carrying the ~10 MB map state costs ~0.5 ms/scan in
+    # branch double-buffer copies on TPU even when the predicate is
+    # false (measured r4, tools/exp_gap2.py: the never-firing MSW cond
+    # alone was 0.5 ms/scan; both conds together ~1.5 of the 4.65 ms
+    # step), while the masked insert/refresh are fused elementwise
+    # passes over the same arrays the scan carry already touches.
     if cfg.mapper.keyframe_at_map_resolution:
         # Dense keyframe from the raw scan at the map's own resolution
         # (reference inserts the unfiltered cloud into its fine octree,
         # Locus.cc:514-543): map density drives scan-to-submap accuracy,
         # and the adaptive input leaf (often ~1 m in open space) must not
-        # thin the map. Built INSIDE the cond so only keyframe scans pay.
+        # thin the map. This path pays a per-keyframe preprocess
+        # (crop+voxel+normals at keyframe capacity), so it KEEPS the
+        # lax.cond: the branch-copy cost is cheaper than preprocessing
+        # every scan.
         def do_insert(mp):
             kf = raw_scan
             if cfg.filtering.body_filter:
@@ -389,18 +399,20 @@ def step(
                 * cfg.mapper.map_voxel_leaf,
             )
             return mp_impl.insert_keyframe(mp, kf.transform(pose), cfg.mapper)
+
+        new_map = lax.cond(want_keyframe, do_insert, lambda mp: mp, state.map)
+    elif not cfg.b_add_keyframes_enabled:
+        new_map = state.map               # static skip: no insert at all
     else:
         world_scan = scan.transform(pose)
 
         # Novelty distances reused from the ANN pass: the query pose there
         # is the prediction, off from the final pose by the measurement
         # correction (~cm), which only jitters the leaf-boundary decision.
-        def do_insert(mp):
-            return mp_impl.insert_keyframe(
-                mp, world_scan, cfg.mapper, nearest_d2=ann_d2
-            )
-
-    new_map = lax.cond(want_keyframe, do_insert, lambda mp: mp, state.map)
+        new_map = mp_impl.insert_keyframe(
+            state.map, world_scan, cfg.mapper, nearest_d2=ann_d2,
+            enabled=want_keyframe,
+        )
     last_kf_pose = jnp.where(want_keyframe, pose, state.last_keyframe_pose)
 
     # -- MSW refresh (Locus.cc:536-538; velocity gates lo_settings:47-62) --
@@ -415,11 +427,8 @@ def step(
             & (jnp.mean(vb.rot) < cfg.mapper.rotational_velocity_threshold)
         )
         want_refresh = moved_msw & slow & (new_map.num_keyframes > 0)
-        new_map = lax.cond(
-            want_refresh,
-            lambda mp: mp_impl.refresh_msw(mp, pos, cfg.mapper),
-            lambda mp: mp,
-            new_map,
+        new_map = mp_impl.refresh_msw(
+            new_map, pos, cfg.mapper, enabled=want_refresh
         )
     else:
         want_refresh = jnp.asarray(False)

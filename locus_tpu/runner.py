@@ -67,6 +67,95 @@ def make_replay_step(cfg: LocusConfig):
     return rstep
 
 
+def make_live_step(cfg: LocusConfig, imu_window: int, odom_window: int):
+    """Streaming-path step with MINIMAL host<->device round trips: ONE
+    input upload (scan xyz + mask packed as (cap, 4) f32, sensor
+    windows + stamps packed into one flat aux vector) and ONE output
+    fetch (pose + covariance + all StepOutput scalars as one (64,) f32
+    vector). The reference's per-callback latency contract
+    (lidar_callback_duration, Locus.cc:426-428) is paid per scan here,
+    so every extra buffer transfer is a full round trip on remote-hosted
+    devices; the batched lax.scan replay amortizes this away but the
+    live loop cannot. Unpack the result with unpack_live_output."""
+    KI, KO = imu_window, odom_window
+    aux_len = 2 + KI + KI * 4 + KO + KO * 16
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def rstep(state, scan_xyzm, aux):
+        stamp = aux[0]
+        seq_id = aux[1].astype(jnp.int32)
+        o = 2
+        imu_s = aux[o : o + KI]
+        o += KI
+        imu_q = aux[o : o + KI * 4].reshape(KI, 4)
+        o += KI * 4
+        odom_s = aux[o : o + KO]
+        o += KO
+        odom_p = aux[o : o + KO * 16].reshape(KO, 4, 4)
+
+        fuse = fusion.push_imu_batch(state.fuse, imu_s, imu_q)
+        fuse = fusion.push_odom_batch(fuse, odom_s, odom_p)
+        state = state._replace(fuse=fuse)
+        scan_mask = scan_xyzm[:, 3] > 0.5
+        raw = PointCloud(
+            jnp.where(scan_mask[:, None], scan_xyzm[:, :3], PAD_COORD),
+            jnp.zeros((scan_xyzm.shape[0], 3), jnp.float32),
+            jnp.zeros(scan_xyzm.shape[0], jnp.float32),
+            scan_mask,
+        )
+        state, out = pipeline.step(state, raw, stamp, cfg, seq=seq_id)
+        packed = jnp.concatenate(
+            [
+                out.pose.ravel(),
+                out.covariance.ravel(),
+                jnp.stack(
+                    [
+                        out.condition_number,
+                        out.prior_source.astype(jnp.float32),
+                        out.scan_to_scan_accepted.astype(jnp.float32),
+                        out.scan_to_map_accepted.astype(jnp.float32),
+                        out.keyframe_inserted.astype(jnp.float32),
+                        out.msw_refreshed.astype(jnp.float32),
+                        out.num_points.astype(jnp.float32),
+                        out.voxel_leaf,
+                        out.odom_iterations.astype(jnp.float32),
+                        out.loc_iterations.astype(jnp.float32),
+                        out.map_size.astype(jnp.float32),
+                        out.xy_cross_section,
+                    ]
+                ),
+            ]
+        )
+        return state, packed
+
+    return rstep, aux_len
+
+
+def unpack_live_output(vec: np.ndarray):
+    """Host-side inverse of make_live_step's packed output: a StepOutput
+    of numpy values."""
+    from locus_tpu.pipeline import StepOutput
+
+    v = np.asarray(vec)
+    s = v[52:]
+    return StepOutput(
+        pose=v[:16].reshape(4, 4),
+        covariance=v[16:52].reshape(6, 6),
+        condition_number=s[0],
+        prior_source=np.int32(s[1]),
+        scan_to_scan_accepted=bool(s[2] > 0.5),
+        scan_to_map_accepted=bool(s[3] > 0.5),
+        keyframe_inserted=bool(s[4] > 0.5),
+        msw_refreshed=bool(s[5] > 0.5),
+        num_points=np.int32(s[6]),
+        voxel_leaf=s[7],
+        odom_iterations=np.int32(s[8]),
+        loc_iterations=np.int32(s[9]),
+        map_size=np.int32(s[10]),
+        xy_cross_section=s[11],
+    )
+
+
 def pack_sequence(seq: Sequence, cfg: LocusConfig, max_scans: Optional[int] = None):
     """Prepack a whole sequence into fixed-shape device-ready arrays:
     scans (T,cap,3), masks (T,cap), stamps (T,), imu windows (T,K,...),

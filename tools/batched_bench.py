@@ -98,6 +98,11 @@ def main():
         warm = {k: v[: args.warmup] for k, v in packed.items()}
         _, (poses, _, _) = replay(fresh_states(), warm)
         np.asarray(poses)  # fence (relay block_until_ready returns early)
+        # one untimed FULL-length run: the scan count is shape-defining,
+        # so the full program compiles here, not inside a timed rep
+        # (r4: the first rep's ~100 s compile skewed min/std)
+        _, (poses, _, _) = replay(fresh_states(), packed)
+        np.asarray(poses)
 
         @jax.jit
         def touch(x):

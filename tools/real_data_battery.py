@@ -234,7 +234,8 @@ def ndt_warmstart_envelope():
 
 def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
                          keep_frac=0.8, max_range=30.0, seed=3,
-                         structured=False, azimuth_bins=900):
+                         structured=False, azimuth_bins=900,
+                         world_points=None):
     """Scans of the real garage cloud from a known trajectory (real
     geometry, synthetic motion).
 
@@ -250,9 +251,16 @@ def make_garage_sequence(num_scans=48, points_per_scan=6000, noise=0.005,
     from locus_tpu.io import pcd
     from locus_tpu.io.dataset import Sequence
 
-    d = pcd.read_pcd(REFERENCE)
-    world = np.stack([np.asarray(d[c], np.float32) for c in ("x", "y", "z")], 1)
-    world = world[np.isfinite(world).all(1)]
+    if world_points is not None:
+        # caller-supplied world (e.g. the density-upsampled garage cloud
+        # of tools/feature_density.py)
+        world = np.asarray(world_points, np.float32)
+    else:
+        d = pcd.read_pcd(REFERENCE)
+        world = np.stack(
+            [np.asarray(d[c], np.float32) for c in ("x", "y", "z")], 1
+        )
+        world = world[np.isfinite(world).all(1)]
 
     rng = np.random.default_rng(seed)
     T = num_scans

@@ -92,7 +92,7 @@ def main():
         shardings = mesh_lib.batched_state_shardings(mesh, batched, cfg.mapper.map_capacity)
         batched = jax.tree_util.tree_map(jax.device_put, batched, shardings)
 
-        replay = make_batched_replay(cfg)
+        replay = make_batched_replay(cfg, mesh=mesh)
         b2, (poses, _, _) = replay(batched, packed)
         np.asarray(poses)
         # timed
