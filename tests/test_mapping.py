@@ -273,3 +273,210 @@ def test_reanchor_ignores_unprovenanced_slots():
     np.testing.assert_array_equal(
         np.asarray(st2.cloud.xyz), np.asarray(st.cloud.xyz)
     )
+
+
+# ---------------------------------------------------------------------------
+# r4: masked (cond-free) map updates + non-wrapping windowed ring writes
+# ---------------------------------------------------------------------------
+
+def test_insert_enabled_false_is_noop():
+    """insert_keyframe(enabled=False) must leave all map content and
+    counters untouched (the pipeline calls it unconditionally per scan;
+    a masked no-op replaces the lax.cond and must behave like one)."""
+    st = km.init_map(CFG)
+    st = km.insert_keyframe(st, grid_cloud(0.0), CFG)
+    st2 = km.insert_keyframe(
+        st, grid_cloud(10.0), CFG, enabled=jnp.asarray(False)
+    )
+    np.testing.assert_array_equal(np.asarray(st2.cloud.xyz), np.asarray(st.cloud.xyz))
+    np.testing.assert_array_equal(np.asarray(st2.cloud.mask), np.asarray(st.cloud.mask))
+    np.testing.assert_array_equal(np.asarray(st2.nn_aug), np.asarray(st.nn_aug))
+    np.testing.assert_array_equal(np.asarray(st2.kf_index), np.asarray(st.kf_index))
+    assert int(st2.num_keyframes) == int(st.num_keyframes)
+    assert int(st2.write_ptr) == int(st.write_ptr)
+
+
+def test_refresh_enabled_false_keeps_content():
+    """refresh_msw(enabled=False) must evict nothing and keep the
+    cached NN operand live for every stored point (boxes may tighten —
+    that only improves pruning, never correctness)."""
+    st = km.init_map(CFG)
+    st = km.insert_keyframe(st, grid_cloud(0.0), CFG)
+    far = jnp.asarray([1000.0, 0.0, 0.0])
+    st2 = km.refresh_msw(st, far, CFG, enabled=jnp.asarray(False))
+    np.testing.assert_array_equal(np.asarray(st2.cloud.mask), np.asarray(st.cloud.mask))
+    np.testing.assert_array_equal(np.asarray(st2.cloud.xyz), np.asarray(st.cloud.xyz))
+    # no live column got killed
+    n = CFG.map_capacity
+    live = np.asarray(st2.cloud.mask)
+    assert np.all(np.isfinite(np.asarray(st2.nn_aug)[3, :n][live]))
+    # and the refresh position did not move
+    np.testing.assert_array_equal(
+        np.asarray(st2.last_refresh_position),
+        np.asarray(st.last_refresh_position),
+    )
+
+
+def test_refresh_kills_evicted_nn_columns():
+    """After a real refresh, evicted points can never win an ANN query:
+    their cached |t|^2 row is +inf and their mask is down."""
+    st = km.init_map(CFG)
+    st = km.insert_keyframe(st, grid_cloud(0.0), CFG)      # points in [0,5]^3
+    st = km.insert_keyframe(st, grid_cloud(50.0), CFG)     # points near 50
+    pos = jnp.asarray([52.0, 52.0, 52.0])
+    small = MapperConfig(
+        map_capacity=1024, keyframe_capacity=128, map_voxel_leaf=0.1,
+        box_filter_size=20.0,
+    )
+    st = km.refresh_msw(st, pos, small)
+    m = np.asarray(st.cloud.mask)
+    aug3 = np.asarray(st.nn_aug)[3, : small.map_capacity]
+    evicted_live_cols = np.isfinite(aug3) & ~m & (np.asarray(st.kf_index) >= 0)
+    # every slot that ever held a point and is now evicted must be inf
+    held = np.asarray(st.kf_index) >= 0
+    assert np.all(~np.isfinite(aug3[held & ~m]))
+    # ANN against the far-away query block still answers from survivors
+    q = PointCloud.from_points(
+        (np.random.default_rng(0).uniform(50, 55, (64, 3))).astype(np.float32),
+        capacity=128,
+    )
+    nb, d2 = km.approx_nearest_neighbors(st, q, return_d2=True, radius=5.0)
+    assert np.asarray(nb.mask).sum() > 0
+    # no neighbor is an evicted point (all returned xyz are inside the box)
+    got = np.asarray(nb.xyz)[np.asarray(nb.mask)]
+    assert np.all(np.abs(got - np.asarray(pos)) <= 10.0 + 1e-5)
+
+
+def test_ring_pointer_never_wraps_window():
+    """The ring pointer restarts at 0 when fewer than keyframe_capacity
+    slots remain (non-wrapping window invariant of the r4 windowed-RMW
+    insert): stored points must stay consistent with their slots across
+    the restart and the store must keep answering queries."""
+    cfg = MapperConfig(map_capacity=256, keyframe_capacity=128, map_voxel_leaf=0.01)
+    st = km.init_map(cfg)
+    for i in range(6):
+        st = km.insert_keyframe(st, grid_cloud(10.0 * i, n=100), cfg)
+        ptr = int(st.write_ptr)
+        assert 0 <= ptr <= cfg.map_capacity, ptr
+        # invariant: next window [ptr_eff, ptr_eff+K) fits entirely
+        m = np.asarray(st.cloud.mask)
+        xyz = np.asarray(st.cloud.xyz)[m]
+        aug = np.asarray(st.nn_aug)
+        # cached operand consistent with the stored points at live slots
+        live_cols = np.nonzero(m)[0]
+        np.testing.assert_allclose(
+            aug[:3, live_cols], -2.0 * np.asarray(st.cloud.xyz)[live_cols].T,
+            atol=1e-5,
+        )
+    assert int(km.map_size(st)) <= cfg.map_capacity
+
+
+def test_live_step_matches_replay_step():
+    """make_live_step's packed single-upload/single-fetch path must
+    produce the same trajectory as make_replay_step (the streaming vs
+    replay determinism contract)."""
+    import jax
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence, sensor_windows_for_scan
+    from locus_tpu.runner import (
+        make_live_step,
+        make_replay_step,
+        pack_scan,
+        unpack_live_output,
+    )
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(map_capacity=2048, keyframe_capacity=256, map_voxel_leaf=0.1),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    seq = make_tunnel_sequence(num_scans=3, azimuth_steps=64, seed=11)
+
+    def fresh():
+        st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    # reference: make_replay_step
+    rstep = make_replay_step(cfg)
+    st = fresh()
+    ref_poses = []
+    for i in range(3):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odo_s, odo_p) = sensor_windows_for_scan(seq, i)
+        st, out = rstep(
+            st, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odo_s), jnp.asarray(odo_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        ref_poses.append(np.asarray(out.pose))
+
+    # live packed path (same sensor windows)
+    KI, KO = None, None
+    (imu_s, _), (odo_s2, _) = sensor_windows_for_scan(seq, 0)
+    KI, KO = len(imu_s), len(odo_s2)
+    lstep, aux_len = make_live_step(cfg, KI, KO)
+    st = fresh()
+    for i in range(3):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odo_s, odo_p) = sensor_windows_for_scan(seq, i)
+        xyzm = np.concatenate([xyz, mask[:, None].astype(np.float32)], axis=1)
+        aux = np.concatenate(
+            [np.asarray([seq.stamps[i], float(i)], np.float32),
+             np.asarray(imu_s, np.float32).ravel(),
+             np.asarray(imu_q, np.float32).ravel(),
+             np.asarray(odo_s, np.float32).ravel(),
+             np.asarray(odo_p, np.float32).ravel()]
+        ).astype(np.float32)
+        assert aux.size == aux_len, (aux.size, aux_len)
+        st, packed = lstep(st, jnp.asarray(xyzm), jnp.asarray(aux))
+        out = unpack_live_output(np.asarray(packed))
+        np.testing.assert_allclose(out.pose, ref_poses[i], atol=1e-5)
+
+
+def test_checkpoint_sharded_roundtrip_single_process():
+    """save_state_sharded/load_state_sharded on a virtual mesh: every
+    leaf (sharded map arrays, replicated scalars, bools) round-trips
+    bitwise into the template's shardings."""
+    import jax
+
+    from locus_tpu import checkpoint, pipeline
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(map_capacity=4096, keyframe_capacity=256, map_voxel_leaf=0.1),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    mesh = mesh_lib.make_mesh(8, map_parallel=2)
+    st = pipeline.init_state(cfg)
+    st = st._replace(map=km.insert_keyframe(st.map, grid_cloud(0.0, n=100, capacity=256), cfg.mapper))
+    st = jax.tree_util.tree_map(
+        jax.device_put, st,
+        mesh_lib.single_state_shardings(mesh, st, cfg.mapper.map_capacity),
+    )
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        pfx = os.path.join(td, "ck")
+        checkpoint.save_state_sharded(pfx, st)
+        template = pipeline.init_state(cfg)
+        template = jax.tree_util.tree_map(
+            jax.device_put, template,
+            mesh_lib.single_state_shardings(mesh, template, cfg.mapper.map_capacity),
+        )
+        restored = checkpoint.load_state_sharded(pfx, template)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(restored)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
