@@ -36,12 +36,18 @@ def load_garage_world():
     return world[np.isfinite(world).all(1)]
 
 
-def densify(world: np.ndarray, factor: int, seed: int = 0) -> np.ndarray:
+def densify(world: np.ndarray, factor: int, seed: int = 0,
+            max_disk: float = np.inf) -> np.ndarray:
     """Tangent-plane surface upsampling: for each point, estimate the
     local plane from k=10 neighbors (PCA) and draw (factor-1) samples
     uniformly in the tangent disk whose radius is the distance to the
     5th neighbor — densifies the sampled surfaces without inventing
-    geometry beyond the local planar approximation."""
+    geometry beyond the local planar approximation.
+
+    `max_disk` caps the disk radius: in sparse regions the 5th-neighbor
+    distance can reach tens of cm, and planar extrapolation at that
+    scale THICKENS curved/edge geometry — the upsampling artifact then
+    dominates the very curvature signal the experiment measures."""
     if factor <= 1:
         return world
     from scipy.spatial import cKDTree
@@ -49,7 +55,7 @@ def densify(world: np.ndarray, factor: int, seed: int = 0) -> np.ndarray:
     rng = np.random.default_rng(seed)
     tree = cKDTree(world)
     d, idx = tree.query(world, k=10)
-    disk_r = d[:, 5]                                  # local spacing scale
+    disk_r = np.minimum(d[:, 5], max_disk)            # local spacing scale
     nbr = world[idx]                                  # (N, 10, 3)
     mean = nbr.mean(axis=1, keepdims=True)
     cen = nbr - mean
@@ -108,6 +114,9 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--scans", type=int, default=40)
     ap.add_argument("--factors", nargs="*", type=int, default=[1, 2, 4, 8, 16])
+    ap.add_argument("--max-disk", type=float, default=float("inf"),
+                    help="cap on the tangent-disk radius [m]")
+    ap.add_argument("--out", default="FEATURE_DENSITY_r04.json")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -123,7 +132,7 @@ def main():
     cfg = feature_cfg()
     rows = []
     for f in args.factors:
-        world = densify(world0, f)
+        world = densify(world0, f, max_disk=args.max_disk)
         seq = bat.make_garage_sequence(
             num_scans=args.scans, structured=True, world_points=world
         )
@@ -149,9 +158,10 @@ def main():
         "(tangent-disk surface upsampling of the real PCD; "
         "re-raycast structured sweeps; full feature pipeline)",
         "scans": args.scans,
+        "max_disk_m": args.max_disk,
         "rows": rows,
     }
-    out = os.path.join(os.path.dirname(__file__), "..", "FEATURE_DENSITY_r04.json")
+    out = os.path.join(os.path.dirname(__file__), "..", args.out)
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"wrote": out}))
