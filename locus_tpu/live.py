@@ -58,12 +58,16 @@ class LiveSession:
     # keyframes, Locus.cc:536-543): called with (scan_count, map_state)
     # on every cfg.map_publishment_meters-th keyframe insertion.
     map_sink: Optional[object] = None
+    # Serve with the map store sharded over a ("data","map") Mesh — the
+    # big-map live-localization deployment (same whole-step shard_map
+    # path as the sharded replay, at streaming granularity).
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         from locus_tpu.runner import make_live_step
 
         self._rstep, self._aux_len = make_live_step(
-            self.cfg, self.imu_window, self.odom_window
+            self.cfg, self.imu_window, self.odom_window, mesh=self.mesh
         )
         # config-driven GT-map bootstrap (InitWithGTPointCloud) included
         state = pipeline.init_state_from_config(
@@ -75,6 +79,15 @@ class LiveSession:
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), state
         )
+        if self.mesh is not None:
+            from locus_tpu.parallel import mesh as mesh_lib
+
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, self.state,
+                mesh_lib.single_state_shardings(
+                    self.mesh, self.state, self.cfg.mapper.map_capacity
+                ),
+            )
         self._imu_queue: list = []
         self._odom_queue: list = []
         self._scan_count = 0
@@ -263,7 +276,7 @@ class LiveSession:
         from locus_tpu.runner import make_live_step
 
         self._rstep, self._aux_len = make_live_step(
-            new_cfg, self.imu_window, self.odom_window
+            new_cfg, self.imu_window, self.odom_window, mesh=self.mesh
         )
 
     def set_voxel_leaf(self, leaf: float):
@@ -298,6 +311,15 @@ class LiveSession:
         self.state = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), restored
         )
+        if self.mesh is not None:
+            from locus_tpu.parallel import mesh as mesh_lib
+
+            self.state = jax.tree_util.tree_map(
+                jax.device_put, self.state,
+                mesh_lib.single_state_shardings(
+                    self.mesh, self.state, self.cfg.mapper.map_capacity
+                ),
+            )
 
     def run(self, scan_source: Iterator, max_scans: Optional[int] = None):
         """Consume (stamp, xyz[, valid]) tuples until exhausted."""

@@ -67,7 +67,9 @@ def make_replay_step(cfg: LocusConfig):
     return rstep
 
 
-def make_live_step(cfg: LocusConfig, imu_window: int, odom_window: int):
+def make_live_step(
+    cfg: LocusConfig, imu_window: int, odom_window: int, mesh=None
+):
     """Streaming-path step with MINIMAL host<->device round trips: ONE
     input upload (scan xyz + mask packed as (cap, 4) f32, sensor
     windows + stamps packed into one flat aux vector) and ONE output
@@ -76,12 +78,17 @@ def make_live_step(cfg: LocusConfig, imu_window: int, odom_window: int):
     (lidar_callback_duration, Locus.cc:426-428) is paid per scan here,
     so every extra buffer transfer is a full round trip on remote-hosted
     devices; the batched lax.scan replay amortizes this away but the
-    live loop cannot. Unpack the result with unpack_live_output."""
+    live loop cannot. Unpack the result with unpack_live_output.
+
+    `mesh`: a ("data","map") Mesh to SERVE with the map store sharded
+    over "map" — the same whole-step shard_map deployment as
+    make_scan_replay(mesh=), at streaming granularity (big-map live
+    localization). Shard the session state with
+    parallel.mesh.single_state_shardings first (LiveSession does)."""
     KI, KO = imu_window, odom_window
     aux_len = 2 + KI + KI * 4 + KO + KO * 16
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def rstep(state, scan_xyzm, aux):
+    def _step(state, scan_xyzm, aux):
         stamp = aux[0]
         seq_id = aux[1].astype(jnp.int32)
         o = 2
@@ -127,6 +134,38 @@ def make_live_step(cfg: LocusConfig, imu_window: int, odom_window: int):
             ]
         )
         return state, packed
+
+    if mesh is None:
+        return partial(jax.jit, donate_argnums=(0,))(_step), aux_len
+
+    from jax.sharding import PartitionSpec as P
+
+    from locus_tpu.ops.dispatch import shard_axis
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    n_shards = mesh.shape["map"]
+
+    def inner(state, scan_xyzm, aux):
+        with shard_axis("map", n_shards):
+            return _step(state, scan_xyzm, aux)
+
+    cache = {}
+
+    def rstep(state, scan_xyzm, aux):
+        key = jax.tree_util.tree_structure(state)
+        if key not in cache:
+            specs = mesh_lib.state_pspecs(
+                state, cfg.mapper.map_capacity, n_shards
+            )
+            fn = jax.shard_map(
+                inner,
+                mesh=mesh,
+                in_specs=(specs, P(), P()),
+                out_specs=(specs, P()),
+                check_vma=False,
+            )
+            cache[key] = jax.jit(fn, donate_argnums=(0,))
+        return cache[key](state, scan_xyzm, aux)
 
     return rstep, aux_len
 

@@ -678,3 +678,40 @@ def test_explicit_sharded_map_replay_matches_single_device():
 
     np.testing.assert_allclose(np.asarray(poses_sh), poses_ref, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(sizes_sh), np.asarray(sizes_ref))
+
+
+def test_live_session_sharded_matches_unsharded():
+    """LiveSession(mesh=...) — streaming-granularity serving with the
+    map sharded over the mesh "map" axis (the big-map live-localization
+    deployment): per-scan poses must match the unsharded session."""
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.live import LiveSession
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(
+            map_capacity=4096, keyframe_capacity=256, map_voxel_leaf=0.1
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+        b_enable_computation_time_profiling=False,
+    )
+    seq = make_tunnel_sequence(num_scans=4, azimuth_steps=64, seed=13)
+
+    ref = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0])
+    ref_poses = [
+        ref.process_scan(float(seq.stamps[i]), seq.scans[i], seq.scan_valid[i])[0]
+        for i in range(4)
+    ]
+
+    mesh = mesh_lib.make_mesh(8, map_parallel=2)
+    sh = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0], mesh=mesh)
+    for i in range(4):
+        pose, out = sh.process_scan(
+            float(seq.stamps[i]), seq.scans[i], seq.scan_valid[i]
+        )
+        np.testing.assert_allclose(pose, ref_poses[i], atol=1e-4)
