@@ -21,7 +21,11 @@ from locus_tpu import checkpoint as ckpt_mod
 from locus_tpu import diagnostics, pipeline
 from locus_tpu.config import LocusConfig
 from locus_tpu.publisher import FixedRatePublisher
-from locus_tpu.runner import make_live_step  # noqa: F401  (re-export for API compat)
+from locus_tpu.runner import (  # noqa: F401  (make_replay_step kept as a
+    make_live_step,              # re-export for pre-r4 importers)
+    make_replay_step,
+    unpack_live_output,
+)
 
 
 @dataclass
@@ -64,8 +68,6 @@ class LiveSession:
     mesh: Optional[object] = None
 
     def __post_init__(self):
-        from locus_tpu.runner import make_live_step
-
         self._rstep, self._aux_len = make_live_step(
             self.cfg, self.imu_window, self.odom_window, mesh=self.mesh
         )
@@ -161,9 +163,10 @@ class LiveSession:
             )
             aux = np.concatenate(
                 [
-                    np.asarray(
-                        [stamp, float(self._scan_count)], np.float32
-                    ),
+                    np.asarray([stamp], np.float32),
+                    # scan counter packed BITWISE into the f32 lane
+                    # (exact at any count; see runner.make_live_step)
+                    np.asarray([self._scan_count], np.int32).view(np.float32),
                     imu_s.ravel(), imu_q.ravel().astype(np.float32),
                     odo_s.ravel(), odo_p.ravel().astype(np.float32),
                 ]
@@ -172,8 +175,6 @@ class LiveSession:
             self.state, packed_out = self._rstep(
                 self.state, jnp.asarray(xyzm), jnp.asarray(aux)
             )
-            from locus_tpu.runner import unpack_live_output
-
             out = unpack_live_output(np.asarray(packed_out))
             pose = out.pose
 
@@ -273,8 +274,6 @@ class LiveSession:
                     "session (optionally resumed from a checkpoint)"
                 )
         self.cfg = new_cfg
-        from locus_tpu.runner import make_live_step
-
         self._rstep, self._aux_len = make_live_step(
             new_cfg, self.imu_window, self.odom_window, mesh=self.mesh
         )

@@ -12,8 +12,12 @@ only if no stored point lies within `map_voxel_leaf`), and the
 map-sliding-window (MSW) Refresh is a mask eviction of points outside a
 box around the robot (lo_settings.yaml:47-62). kNN queries are blocked
 MXU distance computations (ops.neighbors), which at <=131k stored points
-beat any tree on TPU. The point axis is shardable across devices
-(parallel/sharded_map.py).
+beat any tree on TPU. The point axis is shardable across devices: the
+sharded deployments run the WHOLE step inside jax.shard_map
+(runner.make_scan_replay/make_batched_replay/make_live_step mesh=), and
+this module reads dispatch.active_shard_axis() to do its cross-shard
+merges with explicit collectives (all_gather winner-payload merge for
+queries, owner-shard scatters for inserts, psum for map_size).
 """
 from __future__ import annotations
 
@@ -68,11 +72,11 @@ def _local_nearest(state, query_xyz: jnp.ndarray, radius: float):
     serves both). Hits beyond `radius` come back d2=inf."""
     from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
-    if (
-        pallas_allowed()
-        and query_xyz.shape[0] >= 128
-        and state.nn_aug.shape[1] == state.cloud.capacity
-    ):
+    # The kernel accepts a BT-padded operand wider than the point
+    # capacity (padding columns carry +inf and never win), so no shape
+    # guard is needed here; under shard_map the spec builder already
+    # rejects layouts whose shards don't tile into whole chunks.
+    if pallas_allowed() and query_xyz.shape[0] >= 128:
         from locus_tpu.ops.pallas.nn import nearest_pallas_bounded_pre
 
         return nearest_pallas_bounded_pre(
@@ -175,6 +179,13 @@ def insert_keyframe(
     )
     assert k <= cap, (k, cap)
     ptr = jnp.where(state.write_ptr > cap - k, 0, state.write_ptr)
+    # Strict masked-no-op contract: the pointer (including its
+    # non-wrapping reset) only moves on an ENABLED insert — a disabled
+    # step must leave the state bit-identical to the lax.cond semantics
+    # this replaces.
+    new_ptr = ptr + n_novel.astype(jnp.int32)
+    if enabled is not None:
+        new_ptr = jnp.where(enabled, new_ptr, state.write_ptr)
 
     if ax is None:
         def merge0(arr, newvals):
@@ -247,7 +258,7 @@ def insert_keyframe(
     )
     return MapState(
         cloud=new_cloud,
-        write_ptr=ptr + n_novel.astype(jnp.int32),
+        write_ptr=new_ptr,
         num_keyframes=state.num_keyframes + kf_inc,
         last_refresh_position=state.last_refresh_position,
         nn_aug=nn_aug,

@@ -90,7 +90,10 @@ def make_live_step(
 
     def _step(state, scan_xyzm, aux):
         stamp = aux[0]
-        seq_id = aux[1].astype(jnp.int32)
+        # the scan counter rides the f32 aux vector BITWISE (a float
+        # cast would lose integer exactness past 2^24 — ~19 days of
+        # 10 Hz serving — and corrupt the drop-rate statistics)
+        seq_id = jax.lax.bitcast_convert_type(aux[1], jnp.int32)
         o = 2
         imu_s = aux[o : o + KI]
         o += KI
@@ -146,8 +149,10 @@ def make_live_step(
     n_shards = mesh.shape["map"]
 
     def inner(state, scan_xyzm, aux):
-        with shard_axis("map", n_shards):
-            return _step(state, scan_xyzm, aux)
+        if n_shards > 1:
+            with shard_axis("map", n_shards):
+                return _step(state, scan_xyzm, aux)
+        return _step(state, scan_xyzm, aux)
 
     cache = {}
 
@@ -273,8 +278,10 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
     n_shards = mesh.shape["map"]
 
     def inner(state, packed):
-        with shard_axis("map", n_shards):
-            return jax.lax.scan(body, state, packed)
+        if n_shards > 1:
+            with shard_axis("map", n_shards):
+                return jax.lax.scan(body, state, packed)
+        return jax.lax.scan(body, state, packed)
 
     cache = {}
 

@@ -294,6 +294,13 @@ def test_insert_enabled_false_is_noop():
     np.testing.assert_array_equal(np.asarray(st2.kf_index), np.asarray(st.kf_index))
     assert int(st2.num_keyframes) == int(st.num_keyframes)
     assert int(st2.write_ptr) == int(st.write_ptr)
+    # strict even in the non-wrapping reset region (write_ptr > cap - k):
+    # a disabled insert must not move the pointer either
+    near_end = st._replace(write_ptr=jnp.asarray(CFG.map_capacity - 10, jnp.int32))
+    st3 = km.insert_keyframe(
+        near_end, grid_cloud(10.0), CFG, enabled=jnp.asarray(False)
+    )
+    assert int(st3.write_ptr) == CFG.map_capacity - 10
 
 
 def test_refresh_enabled_false_keeps_content():
@@ -428,7 +435,8 @@ def test_live_step_matches_replay_step():
         (imu_s, imu_q), (odo_s, odo_p) = sensor_windows_for_scan(seq, i)
         xyzm = np.concatenate([xyz, mask[:, None].astype(np.float32)], axis=1)
         aux = np.concatenate(
-            [np.asarray([seq.stamps[i], float(i)], np.float32),
+            [np.asarray([seq.stamps[i]], np.float32),
+             np.asarray([i], np.int32).view(np.float32),  # bitwise counter
              np.asarray(imu_s, np.float32).ravel(),
              np.asarray(imu_q, np.float32).ravel(),
              np.asarray(odo_s, np.float32).ravel(),
