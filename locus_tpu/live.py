@@ -302,6 +302,53 @@ class LiveSession:
             loc=loc_mod.set_integrated_estimate(self.state.loc, pose)
         )
 
+    def apply_loop_closure(self, corrected_pose, corrections):
+        """Full loop-closure push-back on a LIVE session (the
+        runner.run_sequence backend contract, at serving granularity):
+        reset the integrated estimate to `corrected_pose`, re-anchor the
+        owned map by per-keyframe corrections (K,4,4), and move the
+        keyframe-policy anchor. Works on sharded sessions too — the
+        reanchor is per-shard under the same whole-step shard_map
+        machinery (corrections replicated, map leaves local)."""
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from locus_tpu import localization as loc_mod
+        from locus_tpu.mapping.registry import mapper_fabric
+
+        corrected = jnp.asarray(corrected_pose, jnp.float32)
+        corr = jnp.asarray(corrections, jnp.float32)
+        mp_impl = mapper_fabric(self.cfg.mapper)
+        key = ("reanchor", corr.shape[0])
+        if not hasattr(self, "_reanchor_cache"):
+            self._reanchor_cache = {}
+        if key not in self._reanchor_cache:
+            fn = partial(mp_impl.reanchor, cfg=self.cfg.mapper)
+            if self.mesh is not None:
+                from locus_tpu.parallel import mesh as mesh_lib
+
+                specs = mesh_lib.state_pspecs(
+                    self.state.map,
+                    self.cfg.mapper.map_capacity,
+                    self.mesh.shape["map"],
+                    at_map_root=True,
+                )
+                fn = jax.shard_map(
+                    lambda m, c: mp_impl.reanchor(m, c, cfg=self.cfg.mapper),
+                    mesh=self.mesh,
+                    in_specs=(specs, P()),
+                    out_specs=specs,
+                    check_vma=False,
+                )
+            self._reanchor_cache[key] = jax.jit(fn)
+        new_map = self._reanchor_cache[key](self.state.map, corr)
+        self.state = self.state._replace(
+            loc=loc_mod.set_integrated_estimate(self.state.loc, corrected),
+            map=new_map,
+            last_keyframe_pose=jnp.array(corrected, copy=True),
+        )
+
     # -- lifecycle ---------------------------------------------------------
     def resume(self, path: str):
         """Restore a checkpointed session (elastic recovery)."""

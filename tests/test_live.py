@@ -259,3 +259,51 @@ def test_multi_robot_session_tracks_independently():
         np.testing.assert_allclose(
             poses_multi[:, b, :3, 3], sp[:, :3, 3], atol=1e-4,
         )
+
+
+def test_live_apply_loop_closure_sharded_matches_unsharded():
+    """LiveSession.apply_loop_closure (the external-backend push-back at
+    serving granularity): corrected pose installed, map re-anchored by
+    keyframe provenance — identically on a sharded session."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.live import LiveSession
+    from locus_tpu.parallel import mesh as mesh_lib
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(
+            map_capacity=4096, keyframe_capacity=256, map_voxel_leaf=0.1
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+        b_enable_computation_time_profiling=False,
+    )
+    seq = make_tunnel_sequence(num_scans=3, azimuth_steps=64, seed=17)
+    corr = np.tile(np.eye(4, dtype=np.float32), (4, 1, 1))
+    corr[:, 0, 3] = 0.25                     # shift every keyframe +x
+    corrected = seq.gt_poses[2].astype(np.float32).copy()
+    corrected[0, 3] += 0.25
+
+    def run(mesh):
+        s = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0], mesh=mesh)
+        for i in range(3):
+            s.process_scan(float(seq.stamps[i]), seq.scans[i], seq.scan_valid[i])
+        s.apply_loop_closure(corrected, corr)
+        m = s.state.map
+        mask = np.asarray(m.cloud.mask)
+        return np.asarray(m.cloud.xyz)[mask], np.asarray(s.state.loc.integrated)
+
+    xyz_ref, pose_ref = run(None)
+    mesh = mesh_lib.make_mesh(8, map_parallel=2)
+    xyz_sh, pose_sh = run(mesh)
+    np.testing.assert_allclose(pose_sh, pose_ref, atol=1e-6)
+    np.testing.assert_allclose(np.sort(xyz_sh, axis=0), np.sort(xyz_ref, axis=0), atol=1e-5)
+    # the correction actually moved the map
+    assert np.allclose(pose_ref[0, 3], corrected[0, 3])
