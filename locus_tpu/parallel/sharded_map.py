@@ -11,13 +11,16 @@ which rides ICI with k*|query| traffic instead of gathering whole map
 shards. XLA/GSPMD can derive this from sharding annotations on argmin,
 but the explicit shard_map version pins the communication pattern.
 
-Inside shard_map shapes are shard-local and static, so the shard-local
-1-NN runs the SAME bbox-pruned Pallas kernel as the single-device map
-path (sharded_nearest_pallas) — the hot loop the kernel replaces
-(multithreaded_gicp/gicp.hpp:463-498) stays fast exactly in the big-map
-multi-chip deployment the sharding exists for. The XLA variant
-(sharded_knn) remains for k>1 and for shard sizes the kernel's BT
-chunking cannot tile.
+NOTE (r4): the PRODUCTION sharded deployments no longer call these
+wrappers — they run the WHOLE step inside one jax.shard_map
+(runner.make_scan_replay/make_batched_replay/make_live_step mesh=) and
+the mapping layer does its merges inline against the ambient
+dispatch.active_shard_axis() context (keyframe_map._map_nearest /
+approx_nearest_neighbors). This module remains the STANDALONE
+collective-kNN API: general k>1 queries against a sharded point set
+(sharded_knn) and the self-contained per-shard Pallas 1-NN
+(sharded_nearest_pallas) used by kernel-level tests and microbenches
+(tools/nn_bench.py --shards).
 """
 from __future__ import annotations
 
