@@ -27,7 +27,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from locus_tpu.config import MapperConfig
-from locus_tpu.core.cloud import PointCloud, PAD_COORD
+from locus_tpu.core.cloud import PointCloud
 from locus_tpu.mapping import keyframe_map as _ring
 
 # Classic 3D spatial-hash primes (Teschner et al.).
@@ -237,18 +237,13 @@ def approx_nearest_neighbors(
     state: HashMapState, query: PointCloud, return_d2: bool = False,
     radius: float = 2.0,
 ):
-    """Identical query interface to the ring store (shared kernel)."""
-    d2, idx = _ring._map_nearest(state, query.xyz, radius)
-    mask = query.mask & state.cloud.mask[idx] & jnp.isfinite(d2)
-    out = PointCloud(
-        jnp.where(mask[:, None], state.cloud.xyz[idx], PAD_COORD),
-        jnp.where(mask[:, None], state.cloud.normals[idx], 0.0),
-        jnp.where(mask, state.cloud.intensity[idx], 0.0),
-        mask,
+    """Identical query interface to the ring store — delegate to its
+    implementation outright (same kernel AND the same shard-aware
+    winner-payload merge; under shard_map the returned indices are
+    GLOBAL, so gathering locally here would read the wrong shard)."""
+    return _ring.approx_nearest_neighbors(
+        state, query, return_d2=return_d2, radius=radius
     )
-    if return_d2:
-        return out, jnp.where(mask, d2, jnp.inf)
-    return out
 
 
 def map_size(state: HashMapState) -> jnp.ndarray:

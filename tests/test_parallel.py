@@ -715,3 +715,89 @@ def test_live_session_sharded_matches_unsharded():
             float(seq.stamps[i]), seq.scans[i], seq.scan_valid[i]
         )
         np.testing.assert_allclose(pose, ref_poses[i], atol=1e-4)
+
+
+def test_sharded_replay_voxel_hash_matches_single():
+    """The SECOND map structure (voxel_hash, the ikd-tree analog) under
+    the whole-step shard_map deployment: its owner-shard scatter insert
+    resolves the same-voxel test with a psum of owner verdicts — the
+    sharded trajectory and map sizes must match single-device."""
+    import dataclasses
+
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel import mesh as mesh_lib
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(
+            map_capacity=4096, keyframe_capacity=256, map_voxel_leaf=0.1,
+            structure="voxel_hash",
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    seq = make_tunnel_sequence(num_scans=4, azimuth_steps=64, seed=21)
+    packed = pack_sequence(seq, cfg)
+
+    def fresh():
+        st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    _, (poses_ref, _, sizes_ref) = make_scan_replay(cfg)(fresh(), packed)
+    poses_ref = np.asarray(poses_ref)
+
+    mesh = mesh_lib.make_mesh(8, map_parallel=2)
+    st = fresh()
+    st = jax.tree_util.tree_map(
+        jax.device_put, st,
+        mesh_lib.single_state_shardings(mesh, st, cfg.mapper.map_capacity),
+    )
+    _, (poses_sh, _, sizes_sh) = make_scan_replay(cfg, mesh=mesh)(st, packed)
+    np.testing.assert_allclose(np.asarray(poses_sh), poses_ref, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(sizes_sh), np.asarray(sizes_ref))
+
+
+def test_scan_replay_degenerate_mesh_map1():
+    """mesh with map axis = 1 (data-parallel-only layouts): the replay
+    must skip the shard-axis collectives entirely and match the
+    unsharded run."""
+    from locus_tpu import pipeline
+    from locus_tpu.config import FilterConfig, FusionConfig, LocusConfig, MapperConfig
+    from locus_tpu.io.dataset import make_tunnel_sequence
+    from locus_tpu.parallel import mesh as mesh_lib
+    from locus_tpu.runner import make_scan_replay, pack_sequence
+
+    cfg = LocusConfig(
+        scan_capacity=256,
+        raw_scan_capacity=1024,
+        points_to_process_in_callback=200,
+        filtering=FilterConfig(normals_k=8),
+        mapper=MapperConfig(
+            map_capacity=2048, keyframe_capacity=256, map_voxel_leaf=0.1
+        ),
+        fusion=FusionConfig(data_integration_mode=0),
+    )
+    seq = make_tunnel_sequence(num_scans=3, azimuth_steps=64, seed=23)
+    packed = pack_sequence(seq, cfg)
+
+    def fresh():
+        st = pipeline.init_state(cfg, jnp.asarray(seq.gt_poses[0], jnp.float32))
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    _, (poses_ref, _, _) = make_scan_replay(cfg)(fresh(), packed)
+
+    mesh = mesh_lib.make_mesh(8, map_parallel=1)
+    st = fresh()
+    st = jax.tree_util.tree_map(
+        jax.device_put, st,
+        mesh_lib.single_state_shardings(mesh, st, cfg.mapper.map_capacity),
+    )
+    _, (poses_sh, _, _) = make_scan_replay(cfg, mesh=mesh)(st, packed)
+    np.testing.assert_allclose(
+        np.asarray(poses_sh), np.asarray(poses_ref), atol=1e-4
+    )
