@@ -35,8 +35,12 @@ class RegistrationConfig:
     corr_dist: float = 1.0             # max correspondence distance [m]
     iterations: int = 20               # outer ICP iterations
     # GN converges in 2-3 steps on these quadratic-per-linearization
-    # objectives (validated: identical accuracy at 3/4/8 on cube + e2e)
-    inner_iterations: int = 3
+    # objectives; the outer loop re-linearizes anyway, so the fixed
+    # point is set by the outer epsilon test, not the inner trip count
+    # (validated: identical accuracy at 2/3/4/8 on cube + the 5-world
+    # eval + the real garage chain — tools/exp_inner.py, r4 cont.;
+    # 3 -> 2 is worth ~0.2 ms/scan on TPU)
+    inner_iterations: int = 2
     transform_thresholding: bool = True
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
@@ -97,7 +101,7 @@ class RegistrationConfig:
             tf_epsilon=1e-5,
             corr_dist=0.2,
             iterations=20,
-            inner_iterations=3,
+            inner_iterations=2,
         )
 
 

@@ -163,14 +163,18 @@ def estimate_normals_radius(
     `min_neighbors` in range keep a zero normal (masked out of GICP's
     covariance weighting naturally)."""
     from locus_tpu.ops.pallas.moments import (
-        radius_moments_pallas_comps,
+        radius_moments_pallas_pruned_comps,
         radius_moments_xla_comps,
     )
 
     from locus_tpu.ops.dispatch import pallas_allowed, pallas_interpret
 
     if pallas_allowed() and cloud.capacity >= 128:
-        count, _, cov_c = radius_moments_pallas_comps(
+        # box-pruned visit-list kernel: the scan arrives in sorted-voxel
+        # order (spatially coherent tiles/chunks) and the radius is
+        # sub-meter, so most chunk dots are skipped (measured r4 cont.:
+        # 0.53 -> ~0.2 ms at the 4096-pt production scan)
+        count, _, cov_c = radius_moments_pallas_pruned_comps(
             cloud.xyz, cloud.xyz, radius, interpret=pallas_interpret()
         )
     else:

@@ -22,6 +22,7 @@ uses (normal_search_radius, point_cloud_localization/config).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,18 @@ BQ = 256
 BT = 1024
 AUG = 8     # [x, y, z, 1, 0, 0, 0, 0] query augmentation
 NF = 16     # feature columns (10 used, lane-padded)
+
+# Pruned-path target chunk size: the normals radius (~2.5x the voxel
+# leaf, sub-meter) is tiny against the scan extent, and the scan arrives
+# in sorted-voxel-key order (spatially coherent), so box pruning skips
+# most (query tile, target chunk) pairs. Finer chunks prune tighter at
+# the cost of more per-visit loop iterations; 512 measured best at the
+# 4096-point production scan (see PARITY round-4 continuation).
+MBT = int(os.environ.get("LOCUS_MOMENTS_BT", "512"))
+if MBT <= 0 or MBT % 128 != 0:
+    raise ValueError(
+        f"LOCUS_MOMENTS_BT must be a positive multiple of 128, got {MBT}"
+    )
 
 
 def _moments_kernel(r2_ref, q_ref, t_ref, f_ref, out_ref):
@@ -159,6 +172,233 @@ def _moments_call(r2, q, t, feat, *, interpret=False):
         return out, True
 
     return call(r2, q, t, feat)
+
+
+# ---------------------------------------------------------------------------
+# Box-pruned visit-list variant (the production scan path)
+#
+# Same pruning design as ops/pallas/nn.py: per-query-tile and per-target-
+# chunk bounding boxes, a (tiles x chunks) box-gap test at the traced
+# radius, and a compacted per-tile visit list so the kernel's chunk loop
+# has a dynamic trip count and zero conditionals. Exact: a chunk holding
+# any point within `radius` of a valid query has box-gap <= radius and is
+# always visited; sentinel queries/targets fail the d2 gate as before.
+# Operands are kept in the transposed dense layouts ((AUG, M) / (NF, M)),
+# mirroring nn.py's layout note — row-major (M, AUG) blocks lane-pad
+# 8 -> 128 and waste 16x DMA bandwidth.
+# ---------------------------------------------------------------------------
+
+def _moments_kernel_visits(cnt_ref, ids_ref, r2_ref, q_ref, t_ref, f_ref, out_ref):
+    """cnt_ref (G,) SMEM visit counts; ids_ref (G*C,) SMEM chunk ids
+    (per-tile prefix-compacted); q_ref (BQ, AUG); t_ref (AUG, m_pad);
+    f_ref (NF, m_pad); out (BQ, NF)."""
+    m = t_ref.shape[1]
+    num_chunks = m // MBT
+    g = pl.program_id(0)
+    q = q_ref[:]
+    q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)
+    r2 = r2_ref[0]
+
+    def body(v, acc):
+        c = ids_ref[g * num_chunks + v]
+        base = c * MBT
+        t_chunk = t_ref[:, pl.ds(base, MBT)]
+        scores = jnp.dot(
+            q, t_chunk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                   # (BQ, MBT)
+        W = ((scores + q2) <= r2).astype(jnp.float32)
+        f_chunk = f_ref[:, pl.ds(base, MBT)]                # (NF, MBT)
+        return acc + jax.lax.dot_general(
+            W, f_chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    init = jnp.zeros((BQ, NF), jnp.float32)
+    out_ref[:] = jax.lax.fori_loop(0, cnt_ref[g], body, init)
+
+
+def _moments_kernel_visits_batched(
+    cnt_ref, ids_ref, r2_ref, q_ref, t_ref, f_ref, out_ref
+):
+    """Batched visits kernel: grid (B, G); cnt_ref (B*G,), ids_ref
+    (B*G*C,), r2_ref (B,) — all SMEM; q_ref (1, BQ, AUG); t_ref
+    (1, AUG, m_pad); f_ref (1, NF, m_pad)."""
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    num_tiles = pl.num_programs(1)
+    m = t_ref.shape[-1]
+    num_chunks = m // MBT
+    row = b * num_tiles + g
+    q = q_ref[0]
+    q2 = jnp.sum(q[:, :3] * q[:, :3], axis=1, keepdims=True)
+    r2 = r2_ref[b]
+
+    def body(v, acc):
+        c = ids_ref[row * num_chunks + v]
+        base = c * MBT
+        t_chunk = t_ref[0, :, pl.ds(base, MBT)]
+        scores = jnp.dot(
+            q, t_chunk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        W = ((scores + q2) <= r2).astype(jnp.float32)
+        f_chunk = f_ref[0, :, pl.ds(base, MBT)]
+        return acc + jax.lax.dot_general(
+            W, f_chunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    init = jnp.zeros((BQ, NF), jnp.float32)
+    out_ref[0] = jax.lax.fori_loop(0, cnt_ref[row], body, init)
+
+
+def _moments_visits(cnt, ids, r2, q, t, feat, *, interpret=False):
+    """Visit-list moments with a custom vmap rule (the batched
+    multi-sequence replay lowers to ONE kernel with a batch grid dim)."""
+
+    @custom_vmap
+    def call(cnt, ids, r2, q, t, feat):
+        n_pad = q.shape[0]
+        m_pad = t.shape[1]
+        grid = (n_pad // BQ,)
+        return pl.pallas_call(
+            _moments_kernel_visits,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((BQ, AUG), lambda g: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((AUG, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((NF, m_pad), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (BQ, NF), lambda g: (g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_pad, NF), jnp.float32),
+            interpret=interpret,
+        )(cnt, ids, r2, q, t, feat)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, cnt, ids, r2, q, t, feat):
+        ops = [
+            o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
+            for o, b in zip((cnt, ids, r2, q, t, feat), in_batched)
+        ]
+        cb, ib, rb, qb, tb, fb = ops
+        bsz, n_pad = qb.shape[0], qb.shape[1]
+        m_pad = tb.shape[2]
+        grid = (bsz, n_pad // BQ)
+        out = pl.pallas_call(
+            _moments_kernel_visits_batched,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (1, BQ, AUG), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, AUG, m_pad), lambda b, g: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, NF, m_pad), lambda b, g: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BQ, NF), lambda b, g: (b, g, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((bsz, n_pad, NF), jnp.float32),
+            interpret=interpret,
+        )(cb.reshape(-1), ib.reshape(-1), rb.reshape(-1), qb, tb, fb)
+        return out, True
+
+    return call(cnt, ids, r2, q, t, feat)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def radius_moments_pallas_pruned_comps(
+    query: jnp.ndarray, target: jnp.ndarray, radius, interpret: bool = False
+):
+    """Box-pruned exact radius moments (component form) — the production
+    scan-normals path. Identical results to radius_moments_pallas_comps;
+    visits only target chunks whose bounding box is within `radius` of
+    the query tile's box (sorted-voxel scan order makes both spatially
+    compact, so most chunk dots are skipped)."""
+    n, m = query.shape[0], target.shape[0]
+    n_pad = -(-n // BQ) * BQ
+    m_pad = -(-m // MBT) * MBT
+    num_tiles = n_pad // BQ
+    num_chunks = m_pad // MBT
+
+    q = jnp.zeros((n_pad, AUG), jnp.float32)
+    q = q.at[:n, :3].set(query)
+    q = q.at[:n, 3].set(1.0)
+
+    t = jnp.zeros((AUG, m_pad), jnp.float32)
+    t = t.at[:3, :m].set(-2.0 * target.T)
+    t2 = jnp.sum(target * target, axis=1)
+    t = t.at[3, :m].set(t2)
+    if m_pad > m:
+        t = t.at[3, m:].set(1e12)  # padded targets fail every gate
+
+    x, y, z = target[:, 0], target[:, 1], target[:, 2]
+    feat = jnp.zeros((NF, m_pad), jnp.float32)
+    feat = feat.at[0, :m].set(x)
+    feat = feat.at[1, :m].set(y)
+    feat = feat.at[2, :m].set(z)
+    feat = feat.at[3, :m].set(x * x)
+    feat = feat.at[4, :m].set(y * y)
+    feat = feat.at[5, :m].set(z * z)
+    feat = feat.at[6, :m].set(x * y)
+    feat = feat.at[7, :m].set(x * z)
+    feat = feat.at[8, :m].set(y * z)
+    feat = feat.at[9, :m].set(1.0)
+
+    big = 1e9
+    # target chunk boxes over non-sentinel points
+    tv = jnp.all(jnp.abs(target) < 1e7, axis=1)
+    tp = jnp.pad(target, ((0, m_pad - m), (0, 0)))
+    tvp = jnp.pad(tv, (0, m_pad - m))
+    tc = tp.reshape(num_chunks, MBT, 3)
+    tmc = tvp.reshape(num_chunks, MBT)
+    c_min = jnp.min(jnp.where(tmc[..., None], tc, big), axis=1)
+    c_max = jnp.max(jnp.where(tmc[..., None], tc, -big), axis=1)
+    # query tile boxes over non-sentinel queries
+    qv = jnp.all(jnp.abs(query) < 1e7, axis=1)
+    qp = jnp.pad(query, ((0, n_pad - n), (0, 0)))
+    qvp = jnp.pad(qv, (0, n_pad - n))
+    qt = qp.reshape(num_tiles, BQ, 3)
+    qm = qvp.reshape(num_tiles, BQ)
+    t_min = jnp.min(jnp.where(qm[..., None], qt, big), axis=1)
+    t_max = jnp.max(jnp.where(qm[..., None], qt, -big), axis=1)
+
+    gap = jnp.maximum(
+        jnp.maximum(c_min[None, :, :] - t_max[:, None, :],
+                    t_min[:, None, :] - c_max[None, :, :]),
+        0.0,
+    )
+    r2s = radius * radius
+    visit = jnp.sum(gap * gap, axis=-1) <= r2s                 # (G, C)
+    cnt = jnp.sum(visit, axis=1).astype(jnp.int32)
+    pos = jnp.cumsum(visit.astype(jnp.int32), axis=1) - 1
+    pos = jnp.where(visit, pos, num_chunks)
+    col = jnp.broadcast_to(
+        jnp.arange(num_chunks, dtype=jnp.int32)[None, :], visit.shape
+    )
+    ids = (
+        jnp.zeros(visit.shape, jnp.int32)
+        .at[jnp.arange(num_tiles)[:, None], pos]
+        .set(col, mode="drop")
+    ).reshape(-1)
+
+    r2 = jnp.asarray([r2s], jnp.float32).reshape(1)
+    out = _moments_visits(cnt, ids, r2, q, t, feat, interpret=interpret)
+    return _moments_to_comps(out[:n])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -153,7 +153,13 @@ def main():
     def f_pre(jit_eps, raw_, leaf):
         pc = PointCloud(raw_.xyz + jit_eps, raw_.normals, raw_.intensity, raw_.mask)
         out = pipeline.preprocess(pc, leaf, cfg)
-        return jnp.sum(jnp.where(out.mask, out.xyz[:, 0], 0.0))
+        # consume the NORMALS too: reducing only xyz lets XLA dead-code-
+        # eliminate the entire normals stage (measured: "preprocess"
+        # reported 0.60 ms while crop+voxel alone was 0.54 and normals
+        # 0.53 — the sub-stages summed past their parent)
+        return jnp.sum(
+            jnp.where(out.mask, out.xyz[:, 0] + out.normals[:, 0], 0.0)
+        )
 
     def f_s2s(jit_eps, odom_state, scan_, prior):
         pc = PointCloud(scan_.xyz + jit_eps, scan_.normals, scan_.intensity, scan_.mask)
