@@ -35,12 +35,15 @@ class RegistrationConfig:
     corr_dist: float = 1.0             # max correspondence distance [m]
     iterations: int = 20               # outer ICP iterations
     # GN converges in 2-3 steps on these quadratic-per-linearization
-    # objectives; the outer loop re-linearizes anyway, so the fixed
-    # point is set by the outer epsilon test, not the inner trip count
-    # (validated: identical accuracy at 2/3/4/8 on cube + the 5-world
-    # eval + the real garage chain — tools/exp_inner.py, r4 cont.;
-    # 3 -> 2 is worth ~0.2 ms/scan on TPU)
-    inner_iterations: int = 2
+    # objectives (validated: identical accuracy at 2/3/4/8 on cube + the
+    # 5-world eval + the real garage chain — tools/exp_inner.py). 2 is
+    # ~0.2 ms/scan faster on TPU and accuracy-neutral, but SHIPS AS 3:
+    # with 2, outer-convergence deltas land near the epsilon boundary
+    # where vmapped-vs-single f32 reduction-order differences flip an
+    # outer iteration — breaking the batched==single determinism
+    # contract by ~2.5 mm (measured: test_multi_robot_session and the
+    # 2-process DP replay fail with 2 in either stage).
+    inner_iterations: int = 3
     transform_thresholding: bool = True
     max_translation: float = 1.0       # gate on per-scan delta [m]
     max_rotation: float = 1.0          # gate on per-scan delta [rad]
@@ -101,7 +104,7 @@ class RegistrationConfig:
             tf_epsilon=1e-5,
             corr_dist=0.2,
             iterations=20,
-            inner_iterations=2,
+            inner_iterations=3,
         )
 
 

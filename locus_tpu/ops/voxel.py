@@ -38,13 +38,26 @@ def voxel_keys(xyz: jnp.ndarray, mask: jnp.ndarray, leaf) -> jnp.ndarray:
     return jnp.where(mask[:, None], ijk, _COORD_MAX)
 
 
-def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> PointCloud:
+def voxel_downsample(
+    cloud: PointCloud,
+    leaf,
+    capacity: int | None = None,
+    with_attributes: bool = True,
+) -> PointCloud:
     """Voxel-grid downsample: one centroid per occupied voxel.
 
     All fields (xyz, normals, intensity) are averaged per voxel, matching
     pcl::VoxelGrid's downsample_all_data behavior; normals are
     re-normalized. `leaf` may be a traced scalar (runtime-adjustable —
     the CustomVoxelGrid `change_leaf_size` capability).
+
+    `with_attributes=False` skips the normals/intensity averaging and
+    returns zeros for both — for call sites whose input provably carries
+    zero attributes (the raw-scan voxelization in pipeline.preprocess:
+    normals are estimated AFTER this op). Averaging all-zero columns is
+    the identity, so the output is bitwise the same; dropping them
+    halves the payload the sort-gather and segment-scatter move
+    (measured ~0.2 ms at the 32k production raw scan).
     """
     n = cloud.capacity
     cap = capacity if capacity is not None else n
@@ -59,19 +72,14 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
     kz_key = jnp.where(cloud.mask, kz, _PACK_MAX + 1)
 
     # Keys ride the sort as operands (sorted keys fall out for free) and
-    # the whole payload moves in ONE (N,8) gather — row gathers dominate
+    # the whole payload moves in ONE (N,K) gather — row gathers dominate
     # this op on TPU, so 5 separate gathers (keys/mask/xyz/normals/
     # intensity) cost ~0.5 ms more than this at 32k points.
     w0 = cloud.mask.astype(jnp.float32)
-    payload = jnp.concatenate(
-        [
-            w0[:, None],
-            cloud.xyz * w0[:, None],
-            cloud.normals * w0[:, None],
-            (cloud.intensity * w0)[:, None],
-        ],
-        axis=1,
-    )
+    cols = [w0[:, None], cloud.xyz * w0[:, None]]
+    if with_attributes:
+        cols += [cloud.normals * w0[:, None], (cloud.intensity * w0)[:, None]]
+    payload = jnp.concatenate(cols, axis=1)
     iota = jnp.arange(n, dtype=jnp.int32)
     key_xy_s, kz_s, order = jax.lax.sort(
         (key_xy, kz_key, iota), num_keys=2
@@ -82,42 +90,47 @@ def voxel_downsample(cloud: PointCloud, leaf, capacity: int | None = None) -> Po
     is_new = is_new.at[0].set(True)
     seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1  # (N,) segment ids
 
-    # ONE wide (N,8) scatter-add instead of four separate segment_sums —
-    # the scatters dominate the downsample cost on TPU (~2x faster).
+    # ONE wide (N,K) scatter-add instead of separate segment_sums — the
+    # scatter dominates the downsample cost on TPU (~2x faster).
     acc = jax.ops.segment_sum(payload_s, seg, num_segments=n)
-    counts = acc[:, 0]
-    sums = acc[:, 1:4]
-    nsum = acc[:, 4:7]
-    isum = acc[:, 7]
 
-    denom = jnp.maximum(counts, 1.0)
-    cx = sums / denom[:, None]
-    cn = nsum / jnp.linalg.norm(nsum, axis=-1, keepdims=True).clip(1e-12)
-    ci = isum / denom
-    valid = counts > 0.0
-
-    out = PointCloud(
-        jnp.where(valid[:, None], cx, PAD_COORD),
-        jnp.where(valid[:, None], cn, 0.0),
-        jnp.where(valid, ci, 0.0),
-        valid,
-    )
     # Segments are front-packed (cumsum ids start at 0). When the voxel
     # count exceeds `cap`, a plain prefix truncation would keep a
     # SPATIALLY BIASED subset (segments are in sorted-key order = lowest
     # coordinates first); stride-sample the valid range instead so the
-    # kept voxels cover the whole scene.
+    # kept voxels cover the whole scene. Compact the RAW sums first and
+    # do the centroid math at (cap,) width — the division/normalize/
+    # select chain at full (n,) width was ~0.1 ms of dead work at 32k.
     if cap != n:
-        num_valid = jnp.sum(valid.astype(jnp.int32))
+        num_valid = jnp.sum((acc[:, 0] > 0.0).astype(jnp.int32))
         ar = jnp.arange(cap, dtype=jnp.int32)
         strided = (
             ar.astype(jnp.float32) * (num_valid.astype(jnp.float32) / cap)
         ).astype(jnp.int32)
         take = jnp.where(num_valid <= cap, ar, jnp.minimum(strided, n - 1))
-        out = PointCloud(
-            out.xyz[take], out.normals[take], out.intensity[take], out.mask[take]
-        )
-    return out
+        acc = acc[take]
+
+    counts = acc[:, 0]
+    sums = acc[:, 1:4]
+    denom = jnp.maximum(counts, 1.0)
+    cx = sums / denom[:, None]
+    valid = counts > 0.0
+    if with_attributes:
+        nsum = acc[:, 4:7]
+        isum = acc[:, 7]
+        cn = nsum / jnp.linalg.norm(nsum, axis=-1, keepdims=True).clip(1e-12)
+        ci = isum / denom
+        normals = jnp.where(valid[:, None], cn, 0.0)
+        intensity = jnp.where(valid, ci, 0.0)
+    else:
+        normals = jnp.zeros_like(cx)
+        intensity = jnp.zeros_like(counts)
+    return PointCloud(
+        jnp.where(valid[:, None], cx, PAD_COORD),
+        normals,
+        intensity,
+        valid,
+    )
 
 
 def adaptive_leaf_update(

@@ -190,14 +190,20 @@ def preprocess(
             return pc, pc.count()
         return pc
     else:
-        pc = voxel.voxel_downsample(pc, leaf, capacity=cfg.scan_capacity)
+        # with_attributes=False: the raw scan's normals/intensity are
+        # zeros at this point (normals are estimated below) — skipping
+        # the dead attribute columns halves the sort/scatter payload
+        pc = voxel.voxel_downsample(
+            pc, leaf, capacity=cfg.scan_capacity, with_attributes=False
+        )
     if f.grid_filter:
         # PointCloudFilter's OWN fixed-leaf voxel grid
         # (PointCloudFilter.cc:119-130), distinct from the runtime-leaf
         # CustomVoxelGrid stage above; a second pass at grid_res only
         # thins further when grid_res > the adaptive leaf.
         pc = voxel.voxel_downsample(
-            pc, jnp.asarray(f.grid_res, jnp.float32), capacity=cfg.scan_capacity
+            pc, jnp.asarray(f.grid_res, jnp.float32),
+            capacity=cfg.scan_capacity, with_attributes=False,
         )
     if f.random_filter and key is not None:
         pct = jnp.asarray(f.decimate_percentage, jnp.float32)
@@ -392,6 +398,7 @@ def step(
             kf = voxel.voxel_downsample(
                 kf, cfg.mapper.map_voxel_leaf,
                 capacity=cfg.mapper.keyframe_capacity,
+                with_attributes=False,  # raw attrs are zeros; normals follow
             )
             kf = normals_op.estimate_normals_radius(
                 kf,
