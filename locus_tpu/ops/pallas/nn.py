@@ -58,12 +58,14 @@ if BT <= 0 or BT % 128 != 0:
 AUG = 8       # augmented K dim
 
 
-def build_nn_target(target: jnp.ndarray, m_pad: int | None = None) -> jnp.ndarray:
+def build_nn_target(
+    target: jnp.ndarray, m_pad: int | None = None, bt: int = BT
+) -> jnp.ndarray:
     """Build the (AUG, m_pad) augmented operand from (M,3) coordinates.
     Cache this when the target persists across calls (the map store)."""
     m = target.shape[0]
     if m_pad is None:
-        m_pad = -(-m // BT) * BT
+        m_pad = -(-m // bt) * bt
     t = jnp.zeros((AUG, m_pad), jnp.float32)
     t = t.at[:3, :m].set(-2.0 * target.T)
     t2 = jnp.sum(target * target, axis=1)
@@ -90,7 +92,7 @@ def update_nn_target(
     return t_aug.at[:, safe_idx].set(cols, mode="drop")
 
 
-def _run_kernel(q, t_aug, interpret, chunk_counts=None):
+def _run_kernel(q, t_aug, interpret, chunk_counts=None, bt: int = BT):
     """1-NN of packed queries against the augmented target, visiting only
     occupied chunks (chunk_counts given) or all chunks. The visit list is
     shared across query tiles; broadcast it to the per-tile layout of the
@@ -99,7 +101,7 @@ def _run_kernel(q, t_aug, interpret, chunk_counts=None):
     n_pad = q.shape[0]
     num_tiles = n_pad // BQ
     m_pad = t_aug.shape[1]
-    num_chunks = m_pad // BT
+    num_chunks = m_pad // bt
     if chunk_counts is None:
         cnt = jnp.full((num_tiles,), num_chunks, jnp.int32)
         ids = jnp.tile(jnp.arange(num_chunks, dtype=jnp.int32), num_tiles)
@@ -114,7 +116,7 @@ def _run_kernel(q, t_aug, interpret, chunk_counts=None):
             .set(jnp.arange(num_chunks, dtype=jnp.int32), mode="drop")
         )
         ids = jnp.tile(ids_one, num_tiles)
-    return _visits_nn(cnt, ids, q, t_aug, interpret=interpret)
+    return _visits_nn(cnt, ids, q, t_aug, interpret=interpret, bt=bt)
 
 
 def _pack_query(query: jnp.ndarray) -> jnp.ndarray:
@@ -143,9 +145,10 @@ BOX_BIG = 1e9
 
 
 def chunk_boxes(
-    target: jnp.ndarray, target_mask: jnp.ndarray, m_pad: int | None = None
+    target: jnp.ndarray, target_mask: jnp.ndarray, m_pad: int | None = None,
+    bt: int = BT,
 ):
-    """Per-BT-chunk bounding boxes over valid target points. Returns
+    """Per-bt-chunk bounding boxes over valid target points. Returns
     (c_min (C,3), c_max (C,3)); chunks with no valid point come back as
     (+BOX_BIG, -BOX_BIG), which every box-distance test rejects — empty
     chunks need no separate flag.
@@ -155,14 +158,14 @@ def chunk_boxes(
     box only visits more chunks, never misses one)."""
     m = target.shape[0]
     if m_pad is None:
-        m_pad = -(-m // BT) * BT
-    num_chunks = m_pad // BT
+        m_pad = -(-m // bt) * bt
+    num_chunks = m_pad // bt
     tm = target_mask
     if m_pad > m:
         target = jnp.pad(target, ((0, m_pad - m), (0, 0)))
         tm = jnp.pad(tm, (0, m_pad - m))
-    tc = target.reshape(num_chunks, BT, 3)
-    mc = tm.reshape(num_chunks, BT)
+    tc = target.reshape(num_chunks, bt, 3)
+    mc = tm.reshape(num_chunks, bt)
     c_min = jnp.min(jnp.where(mc[..., None], tc, BOX_BIG), axis=1)
     c_max = jnp.max(jnp.where(mc[..., None], tc, -BOX_BIG), axis=1)
     return c_min, c_max
@@ -189,101 +192,110 @@ def update_chunk_boxes(
     )
 
 
-def _nn_kernel_visits(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
-    """Compacted-visit variant: cnt_ref (G,) SMEM visit counts, ids_ref
-    (G*C,) SMEM chunk ids with each tile's visit-worthy chunks packed
-    into the prefix. The chunk loop has a DYNAMIC trip count and no
-    conditionals — a skipped-chunk lax.cond costs ~1.2 us on TPU, and at
-    production shape (16 tiles x 64 chunks) those conds alone were
-    ~1.2 ms per call, dwarfing the actual distance work."""
-    m = t_ref.shape[1]
-    num_chunks = m // BT
-    g = pl.program_id(0)
-    q_f32 = q_ref[:]
+def _nn_kernel_visits(bt: int):
+    """Compacted-visit variant (factory closing over the chunk size):
+    cnt_ref (G,) SMEM visit counts, ids_ref (G*C,) SMEM chunk ids with
+    each tile's visit-worthy chunks packed into the prefix. The chunk
+    loop has a DYNAMIC trip count and no conditionals — a skipped-chunk
+    lax.cond costs ~1.2 us on TPU, and at production shape (16 tiles x
+    64 chunks) those conds alone were ~1.2 ms per call, dwarfing the
+    actual distance work."""
 
-    def body(v, carry):
-        best_d, best_i = carry
-        c = ids_ref[g * num_chunks + v]
-        base = c * BT
-        t_chunk = t_ref[:, pl.ds(base, BT)]
-        scores = jnp.dot(
-            q_f32, t_chunk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        for s in range(BT // 128):
-            sub = scores[:, s * 128 : (s + 1) * 128]
-            idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
-                base + s * 128
+    def kernel(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
+        m = t_ref.shape[1]
+        num_chunks = m // bt
+        g = pl.program_id(0)
+        q_f32 = q_ref[:]
+
+        def body(v, carry):
+            best_d, best_i = carry
+            c = ids_ref[g * num_chunks + v]
+            base = c * bt
+            t_chunk = t_ref[:, pl.ds(base, bt)]
+            scores = jnp.dot(
+                q_f32, t_chunk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            take = sub < best_d
-            best_d = jnp.where(take, sub, best_d)
-            best_i = jnp.where(take, idx, best_i)
-        return best_d, best_i
+            for s in range(bt // 128):
+                sub = scores[:, s * 128 : (s + 1) * 128]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
+                    base + s * 128
+                )
+                take = sub < best_d
+                best_d = jnp.where(take, sub, best_d)
+                best_i = jnp.where(take, idx, best_i)
+            return best_d, best_i
 
-    init = (
-        jnp.full((BQ, 128), jnp.inf, jnp.float32),
-        jnp.zeros((BQ, 128), jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[g], body, init)
-    lane = jnp.argmin(best_d, axis=1)
-    d_ref[:] = jnp.min(best_d, axis=1)[:, None]
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
-    onehot = lane_iota == lane[:, None]
-    i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
-
-
-def _nn_kernel_visits_batched(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
-    """Batched visits kernel: grid (B, G); cnt_ref (B*G,) SMEM, ids_ref
-    (B*G*C,) SMEM, q_ref (1, BQ, AUG), t_ref (1, AUG, M) — each grid row
-    sees its own batch member's target operand. One kernel launch serves
-    the whole multi-sequence batch (this is what the custom-vmap rule of
-    _visits_nn lowers to; pallas' default batching rule cannot lower the
-    SMEM scalar operands)."""
-    b = pl.program_id(0)
-    g = pl.program_id(1)
-    num_tiles = pl.num_programs(1)
-    m = t_ref.shape[-1]
-    num_chunks = m // BT
-    row = b * num_tiles + g
-    q_f32 = q_ref[0]
-
-    def body(v, carry):
-        best_d, best_i = carry
-        c = ids_ref[row * num_chunks + v]
-        base = c * BT
-        t_chunk = t_ref[0, :, pl.ds(base, BT)]
-        scores = jnp.dot(
-            q_f32, t_chunk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        init = (
+            jnp.full((BQ, 128), jnp.inf, jnp.float32),
+            jnp.zeros((BQ, 128), jnp.int32),
         )
-        for s in range(BT // 128):
-            sub = scores[:, s * 128 : (s + 1) * 128]
-            idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
-                base + s * 128
+        best_d, best_i = jax.lax.fori_loop(0, cnt_ref[g], body, init)
+        lane = jnp.argmin(best_d, axis=1)
+        d_ref[:] = jnp.min(best_d, axis=1)[:, None]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
+        onehot = lane_iota == lane[:, None]
+        i_ref[:] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
+
+    return kernel
+
+
+def _nn_kernel_visits_batched(bt: int):
+    """Batched visits kernel factory: grid (B, G); cnt_ref (B*G,) SMEM,
+    ids_ref (B*G*C,) SMEM, q_ref (1, BQ, AUG), t_ref (1, AUG, M) — each
+    grid row sees its own batch member's target operand. One kernel
+    launch serves the whole multi-sequence batch (this is what the
+    custom-vmap rule of _visits_nn lowers to; pallas' default batching
+    rule cannot lower the SMEM scalar operands)."""
+
+    def kernel(cnt_ref, ids_ref, q_ref, t_ref, d_ref, i_ref):
+        b = pl.program_id(0)
+        g = pl.program_id(1)
+        num_tiles = pl.num_programs(1)
+        m = t_ref.shape[-1]
+        num_chunks = m // bt
+        row = b * num_tiles + g
+        q_f32 = q_ref[0]
+
+        def body(v, carry):
+            best_d, best_i = carry
+            c = ids_ref[row * num_chunks + v]
+            base = c * bt
+            t_chunk = t_ref[0, :, pl.ds(base, bt)]
+            scores = jnp.dot(
+                q_f32, t_chunk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
-            take = sub < best_d
-            best_d = jnp.where(take, sub, best_d)
-            best_i = jnp.where(take, idx, best_i)
-        return best_d, best_i
+            for s in range(bt // 128):
+                sub = scores[:, s * 128 : (s + 1) * 128]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1) + (
+                    base + s * 128
+                )
+                take = sub < best_d
+                best_d = jnp.where(take, sub, best_d)
+                best_i = jnp.where(take, idx, best_i)
+            return best_d, best_i
 
-    init = (
-        jnp.full((BQ, 128), jnp.inf, jnp.float32),
-        jnp.zeros((BQ, 128), jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, cnt_ref[row], body, init)
-    lane = jnp.argmin(best_d, axis=1)
-    d_ref[0] = jnp.min(best_d, axis=1)[:, None]
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
-    onehot = lane_iota == lane[:, None]
-    i_ref[0] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
+        init = (
+            jnp.full((BQ, 128), jnp.inf, jnp.float32),
+            jnp.zeros((BQ, 128), jnp.int32),
+        )
+        best_d, best_i = jax.lax.fori_loop(0, cnt_ref[row], body, init)
+        lane = jnp.argmin(best_d, axis=1)
+        d_ref[0] = jnp.min(best_d, axis=1)[:, None]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BQ, 128), 1)
+        onehot = lane_iota == lane[:, None]
+        i_ref[0] = jnp.sum(jnp.where(onehot, best_i, 0), axis=1)[:, None]
+
+    return kernel
 
 
-def _visits_nn_single(cnt, ids, q, t_aug, *, interpret=False):
+def _visits_nn_single(cnt, ids, q, t_aug, *, interpret=False, bt=BT):
     n_pad = q.shape[0]
     m_pad = t_aug.shape[1]
     grid = (n_pad // BQ,)
     return pl.pallas_call(
-        _nn_kernel_visits,
+        _nn_kernel_visits(bt),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -303,7 +315,7 @@ def _visits_nn_single(cnt, ids, q, t_aug, *, interpret=False):
     )(cnt, ids, q, t_aug)
 
 
-def _visits_nn_batched(cnt, ids, q, t_aug, *, interpret=False):
+def _visits_nn_batched(cnt, ids, q, t_aug, *, interpret=False, bt=BT):
     """cnt (B, G), ids (B, G*C), q (B, n_pad, AUG), t_aug (B, AUG, m_pad)
     -> d (B, n_pad, 1), i (B, n_pad, 1) via ONE kernel with a batch grid
     dimension."""
@@ -312,7 +324,7 @@ def _visits_nn_batched(cnt, ids, q, t_aug, *, interpret=False):
     num_tiles = n_pad // BQ
     grid = (bsz, num_tiles)
     return pl.pallas_call(
-        _nn_kernel_visits_batched,
+        _nn_kernel_visits_batched(bt),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -332,7 +344,7 @@ def _visits_nn_batched(cnt, ids, q, t_aug, *, interpret=False):
     )(cnt.reshape(-1), ids.reshape(-1), q, t_aug)
 
 
-def _visits_nn(cnt, ids, q, t_aug, *, interpret=False):
+def _visits_nn(cnt, ids, q, t_aug, *, interpret=False, bt=BT):
     """Visit-list 1-NN with a custom vmap rule: under jax.vmap (the
     batched multi-sequence replay) the whole batch lowers to ONE pallas
     launch with a leading batch grid dimension instead of failing on the
@@ -340,7 +352,7 @@ def _visits_nn(cnt, ids, q, t_aug, *, interpret=False):
 
     @custom_vmap
     def call(cnt, ids, q, t_aug):
-        return _visits_nn_single(cnt, ids, q, t_aug, interpret=interpret)
+        return _visits_nn_single(cnt, ids, q, t_aug, interpret=interpret, bt=bt)
 
     @call.def_vmap
     def _rule(axis_size, in_batched, cnt, ids, q, t_aug):
@@ -348,13 +360,13 @@ def _visits_nn(cnt, ids, q, t_aug, *, interpret=False):
             o if b else jnp.broadcast_to(o[None], (axis_size,) + o.shape)
             for o, b in zip((cnt, ids, q, t_aug), in_batched)
         ]
-        d, i = _visits_nn_batched(*ops, interpret=interpret)
+        d, i = _visits_nn_batched(*ops, interpret=interpret, bt=bt)
         return (d, i), (True, True)
 
     return call(cnt, ids, q, t_aug)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bt"))
 def nearest_pallas_bounded_pre(
     query: jnp.ndarray,
     t_aug: jnp.ndarray,
@@ -363,6 +375,7 @@ def nearest_pallas_bounded_pre(
     c_max: jnp.ndarray,
     radius: float = 2.0,
     interpret: bool = False,
+    bt: int = BT,
 ):
     """Radius-bounded 1-NN against PREBUILT chunk boxes (the cached-map /
     hoisted-GICP path): only the query-tile boxes and the (tiles x
@@ -372,7 +385,13 @@ def nearest_pallas_bounded_pre(
     farther get d2 = +inf (the map-ANN consumers gate far hits anyway —
     GICP corr_dist, the novelty leaf — so bounding the search loses
     nothing while skipping almost all chunks in dense maps too).
-    """
+
+    `bt` is the target chunk size and must match the one the t_aug
+    padding and chunk boxes were built with (build_nn_target/chunk_boxes
+    bt=). The map store keeps the default BT (its caches are sized by
+    it); scan-scale GICP targets use a finer chunk so box pruning
+    actually bites at 4096-point extents (2 chunks at BT=2048 means
+    nothing can be skipped)."""
     n, m = query.shape[0], target.shape[0]
     m_pad = t_aug.shape[1]
     n_pad = -(-n // BQ) * BQ
@@ -415,7 +434,7 @@ def nearest_pallas_bounded_pre(
     )
     ids = ids.reshape(-1)
 
-    d, i = _visits_nn(cnt, ids, q, t_aug, interpret=interpret)
+    d, i = _visits_nn(cnt, ids, q, t_aug, interpret=interpret, bt=bt)
 
     idx = jnp.clip(i[:n, 0], 0, m - 1)
     diff = query - target[idx]

@@ -359,18 +359,21 @@ def gicp_register(
             nearest_pallas_bounded_pre,
         )
 
-        t_aug = build_nn_target(target.xyz)
-        # Box pruning pays even at scan-scale targets (measured: a
-        # constant full-visit list costs +0.1/+0.2 ms on s2s/s2m vs
-        # pruned visits — the per-iteration visit prep is cheaper than
-        # the extra chunk dots it avoids).
-        c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
+        # Scan-scale targets use a FINER chunk than the map's BT=2048:
+        # at 4096-point extents 2048 gives 2 chunks and box pruning can
+        # skip nothing, while 512 gives 8 spatially-compact chunks
+        # (sorted-voxel scan order) of which a corr_dist-radius query
+        # tile visits ~1-2. The map path keeps BT (its nn_aug/box caches
+        # are sized by it).
+        sbt = 512
+        t_aug = build_nn_target(target.xyz, bt=sbt)
+        c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1], bt=sbt)
         interp = pallas_interpret()
 
         def nearest_fn(p):
             d2, j = nearest_pallas_bounded_pre(
                 p, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist),
-                interpret=interp,
+                interpret=interp, bt=sbt,
             )
             return jnp.where(jnp.isfinite(d2), d2, 1e12), j
     else:

@@ -713,11 +713,14 @@ def ndt_register(
             nearest_pallas_bounded_pre,
         )
 
-        t_aug = build_nn_target(target.xyz)
-        c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1])
+        sbt = 512  # scan-scale chunk: box pruning bites (see gicp.py)
+        t_aug = build_nn_target(target.xyz, bt=sbt)
+        c_min, c_max = chunk_boxes(
+            target.xyz, target.mask, t_aug.shape[1], bt=sbt
+        )
         d2_fin, j_fin = nearest_pallas_bounded_pre(
             p_fin, t_aug, target.xyz, c_min, c_max, float(cfg.corr_dist),
-            interpret=pallas_interpret(),
+            interpret=pallas_interpret(), bt=sbt,
         )
         d2_fin = jnp.where(jnp.isfinite(d2_fin), d2_fin, 1e12)
     else:
