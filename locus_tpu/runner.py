@@ -265,7 +265,15 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
 
     @partial(jax.jit, donate_argnums=(0,))
     def _replay(state, packed):
-        return jax.lax.scan(body, state, packed)
+        # unroll amortizes the per-iteration while-loop/dispatch
+        # overhead of the scan across 4 stitched bodies: 305 -> 329
+        # scans/s measured on v5e (unroll=2: 320). Value-preserving
+        # (same ops per scan, same order — replay CLI byte-identical,
+        # sharded==single and live==replay equivalence tests green);
+        # the mesh/batched paths below keep unroll=1: their compile
+        # cost is already the dryrun's long pole, and the batched
+        # artifacts (SCALING_r04) are measured on the unrolled=1 body.
+        return jax.lax.scan(body, state, packed, unroll=4)
 
     if mesh is None:
         return _replay
