@@ -76,16 +76,19 @@ def main():
     np.asarray(poses)  # force completion (device->host fetch; some remote
     # PJRT backends return early from block_until_ready on proxy buffers)
 
-    # timed run over the full sequence from a fresh state
-    best = 0.0
-    for _ in range(3):
+    # timed runs over the full sequence from fresh states. Headline =
+    # median of 5 (same estimator as SCALING_r04+; robust to relay
+    # jitter without the best-of optimism); best + std also reported.
+    rates = []
+    for _ in range(5):
         st = fresh_state()
         np.asarray(st.previous_stamp)  # fence: state upload complete
         t0 = time.perf_counter()
         st, (poses, cond, msz) = replay(st, packed_full)
         poses = np.asarray(poses)  # fence: full execution + fetch
         dt = time.perf_counter() - t0
-        best = max(best, num_scans / dt)
+        rates.append(num_scans / dt)
+    best = float(np.median(rates))
 
     # sanity: trajectory must track (guard against benchmarking a broken run)
     gt = seq.gt_poses[:num_scans, :3, 3]
@@ -128,6 +131,9 @@ def main():
         "value": round(best, 2),
         "unit": "scans/s",
         "vs_baseline": round(best / 10.0, 2),
+        "estimator": "median_of_5",
+        "best": round(float(np.max(rates)), 2),
+        "std": round(float(np.std(rates)), 2),
         "platform": platform,
         "ate_m": round(ate, 4),
         "scans": num_scans,

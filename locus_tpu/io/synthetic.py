@@ -219,6 +219,117 @@ def simulate_scan(
     return pts_s.astype(np.float32), valid
 
 
+def circuit_world(
+    side: float = 125.0,
+    half_width: float = 4.0,
+    pillar_every: float = 8.0,
+    room_every: float = 30.0,
+    seed: int = 11,
+) -> BoxWorld:
+    """A closed square tunnel circuit (side x side perimeter corridor,
+    2*half_width wide) with pillars and side rooms — the kilometer-class
+    endurance world (the multi-lap analog of the reference's full SubT
+    dataset replays, tmuxp_config/run_nebula_odometry_dataset/). Pillars
+    every ~pillar_every m give longitudinal observability in the
+    straights (a bare corridor is degenerate along its axis); they sit
+    1.6-3.2 m off the centerline so the robot path stays clear."""
+    w = BoxWorld()
+    hw = half_width
+    z0, z1 = -1.5, 3.0
+    # four corridor shells; interiors overlap at the corners
+    w.add_shell([-hw, -hw, z0], [side + hw, hw, z1])            # bottom
+    w.add_shell([side - hw, -hw, z0], [side + hw, side + hw, z1])  # right
+    w.add_shell([-hw, side - hw, z0], [side + hw, side + hw, z1])  # top
+    w.add_shell([-hw, -hw, z0], [hw, side + hw, z1])            # left
+    rng = np.random.default_rng(seed)
+
+    # corridor centerlines: (start, along-axis, lateral-axis)
+    corridors = [
+        (np.array([0.0, 0.0]), np.array([1.0, 0.0]), np.array([0.0, 1.0])),
+        (np.array([side, 0.0]), np.array([0.0, 1.0]), np.array([-1.0, 0.0])),
+        (np.array([side, side]), np.array([-1.0, 0.0]), np.array([0.0, -1.0])),
+        (np.array([0.0, side]), np.array([0.0, -1.0]), np.array([1.0, 0.0])),
+    ]
+    for start, along, lat in corridors:
+        d = pillar_every * 0.8
+        side_sign = 1.0
+        while d < side - pillar_every * 0.5:
+            off = side_sign * rng.uniform(1.6, hw - 0.8)
+            c = start + along * d + lat * off
+            s = rng.uniform(0.25, 0.45)
+            w.add_obstacle([c[0] - s, c[1] - s, z0], [c[0] + s, c[1] + s, z1 - 1.5])
+            side_sign = -side_sign
+            d += pillar_every * rng.uniform(0.8, 1.2)
+        # side rooms (alcoves) off the outer wall
+        d = room_every
+        while d < side - room_every * 0.5:
+            c = start + along * d
+            depth = rng.uniform(2.5, 5.0)
+            lo = c - along * 2.0 - lat * (hw - 0.2 + depth)
+            hi = c + along * 2.0 - lat * (hw - 0.2 - 0.0)
+            w.add_shell(
+                [min(lo[0], hi[0]), min(lo[1], hi[1]), z0],
+                [max(lo[0], hi[0]), max(lo[1], hi[1]), z1],
+            )
+            d += room_every
+    return w
+
+
+def make_circuit_trajectory(
+    num_poses: int,
+    side: float = 125.0,
+    corner_radius: float = 3.0,
+    laps: int = 2,
+) -> np.ndarray:
+    """Multi-lap trajectory around the circuit_world perimeter: rounded-
+    square path at the corridor centerline, heading tangent. Returns
+    (num_poses, 4, 4); consecutive laps retrace the same path, so every
+    lap-2+ keyframe is a loop-closure revisit of lap 1."""
+    rc = corner_radius
+    L = side - 2.0 * rc
+    qc = np.pi * rc / 2.0
+    P = 4.0 * (L + qc)
+    s_all = np.mod(np.arange(num_poses) * (laps * P / num_poses), P)
+    starts = [
+        (rc, 0.0, 0.0),
+        (side, rc, np.pi / 2),
+        (side - rc, side, np.pi),
+        (0.0, side - rc, -np.pi / 2),
+    ]
+    corners = [
+        ((side - rc, rc), -np.pi / 2),
+        ((side - rc, side - rc), 0.0),
+        ((rc, side - rc), np.pi / 2),
+        ((rc, rc), np.pi),
+    ]
+    poses = np.zeros((num_poses, 4, 4))
+    for i in range(num_poses):
+        si = float(s_all[i])
+        k = 0
+        while True:
+            if si < L:
+                x0, y0, hd = starts[k]
+                x = x0 + si * np.cos(hd)
+                y = y0 + si * np.sin(hd)
+                yaw = hd
+                break
+            si -= L
+            if si < qc:
+                (cx, cy), a0 = corners[k]
+                a = a0 + si / rc
+                x = cx + rc * np.cos(a)
+                y = cy + rc * np.sin(a)
+                yaw = a + np.pi / 2
+                break
+            si -= qc
+            k += 1
+        c, sn = np.cos(yaw), np.sin(yaw)
+        poses[i] = np.eye(4)
+        poses[i, :3, :3] = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1.0]])
+        poses[i, :3, 3] = [x, y, 0.0]
+    return poses
+
+
 def make_loop_trajectory(num_poses: int, radius: float = 8.0) -> np.ndarray:
     """Closed circular loop (for loop-closure / pose-graph tests):
     (num_poses, 4, 4), heading tangent to the circle, returning to the

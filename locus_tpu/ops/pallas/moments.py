@@ -325,10 +325,16 @@ def radius_moments_pallas_pruned_comps(
     query: jnp.ndarray, target: jnp.ndarray, radius, interpret: bool = False
 ):
     """Box-pruned exact radius moments (component form) — the production
-    scan-normals path. Identical results to radius_moments_pallas_comps;
-    visits only target chunks whose bounding box is within `radius` of
-    the query tile's box (sorted-voxel scan order makes both spatially
-    compact, so most chunk dots are skipped)."""
+    scan-normals path. Exact w.r.t. true distances; boundary
+    f32-rounding cases may differ from radius_moments_pallas_comps (the
+    visit gate compares near-exact box gaps while the in-kernel d2 gate
+    uses the cancellation-prone expanded |t|²−2q·t+|q|² form, so a point
+    just outside `radius` whose expanded d2 rounds under r² can be
+    counted by the dense kernel yet pruned here when its whole chunk
+    lies beyond the radius). Visits only target chunks whose bounding
+    box is within `radius` of the query tile's box (sorted-voxel scan
+    order makes both spatially compact, so most chunk dots are
+    skipped)."""
     n, m = query.shape[0], target.shape[0]
     n_pad = -(-n // BQ) * BQ
     m_pad = -(-m // MBT) * MBT

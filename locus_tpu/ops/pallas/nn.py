@@ -57,6 +57,19 @@ if BT <= 0 or BT % 128 != 0:
     )
 AUG = 8       # augmented K dim
 
+# Scan-scale target chunk: registration passes whose target is a single
+# scan (s2s GICP, NDT kdtree correspondence) use a FINER chunk than the
+# map's BT — at 4096-point extents BT=2048 gives 2 chunks and box
+# pruning can skip nothing, while 512 gives 8 spatially-compact chunks
+# (sorted-voxel scan order) of which a corr_dist-radius query tile
+# visits ~1-2. Shared by gicp.py/ndt.py; env override for experiments
+# (LOCUS_NN_BT only affects the map path — its caches are sized by BT).
+SCAN_BT = int(os.environ.get("LOCUS_SCAN_BT", "512"))
+if SCAN_BT <= 0 or SCAN_BT % 128 != 0:
+    raise ValueError(
+        f"LOCUS_SCAN_BT must be a positive multiple of 128, got {SCAN_BT}"
+    )
+
 
 def build_nn_target(
     target: jnp.ndarray, m_pad: int | None = None, bt: int = BT

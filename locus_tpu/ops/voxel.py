@@ -11,6 +11,8 @@ runs of equal keys become segments, and per-voxel centroids come from
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +63,28 @@ def voxel_downsample(
     """
     n = cloud.capacity
     cap = capacity if capacity is not None else n
+    if not with_attributes and os.environ.get("LOCUS_DEBUG_CHECKS"):
+        # Contract guard (test mode): with_attributes=False is only the
+        # identity when the dropped columns are all zero. Rosbag
+        # ingestion parses real intensity, so a future caller wiring
+        # attributes through preprocess would otherwise lose data
+        # silently.
+        def _assert_zero_attrs(normals, intensity, mask):
+            import numpy as _np
+
+            w = _np.asarray(mask)
+            if _np.any(_np.asarray(normals)[w]) or _np.any(
+                _np.asarray(intensity)[w]
+            ):
+                raise AssertionError(
+                    "voxel_downsample(with_attributes=False) called with "
+                    "non-zero normals/intensity — attributes would be "
+                    "silently dropped"
+                )
+
+        jax.debug.callback(
+            _assert_zero_attrs, cloud.normals, cloud.intensity, cloud.mask
+        )
     # packed 2-key sort: (x<<15 | y, z) — one fewer stable-sort pass
     ij = jnp.floor(cloud.xyz[:, :2] / leaf).astype(jnp.int32) + _PACK_OFFSET
     ij = jnp.clip(ij, 0, _PACK_MAX)

@@ -354,18 +354,14 @@ def gicp_register(
 
     if pallas_allowed() and source.capacity >= 128:
         from locus_tpu.ops.pallas.nn import (
+            SCAN_BT,
             build_nn_target,
             chunk_boxes,
             nearest_pallas_bounded_pre,
         )
 
-        # Scan-scale targets use a FINER chunk than the map's BT=2048:
-        # at 4096-point extents 2048 gives 2 chunks and box pruning can
-        # skip nothing, while 512 gives 8 spatially-compact chunks
-        # (sorted-voxel scan order) of which a corr_dist-radius query
-        # tile visits ~1-2. The map path keeps BT (its nn_aug/box caches
-        # are sized by it).
-        sbt = 512
+        # Scan-scale chunk (shared constant; rationale at nn.SCAN_BT).
+        sbt = SCAN_BT
         t_aug = build_nn_target(target.xyz, bt=sbt)
         c_min, c_max = chunk_boxes(target.xyz, target.mask, t_aug.shape[1], bt=sbt)
         interp = pallas_interpret()

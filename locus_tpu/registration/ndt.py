@@ -708,12 +708,13 @@ def ndt_register(
 
     if pallas_allowed() and source.capacity >= 128:
         from locus_tpu.ops.pallas.nn import (
+            SCAN_BT,
             build_nn_target,
             chunk_boxes,
             nearest_pallas_bounded_pre,
         )
 
-        sbt = 512  # scan-scale chunk: box pruning bites (see gicp.py)
+        sbt = SCAN_BT  # scan-scale chunk: box pruning bites (see nn.SCAN_BT)
         t_aug = build_nn_target(target.xyz, bt=sbt)
         c_min, c_max = chunk_boxes(
             target.xyz, target.mask, t_aug.shape[1], bt=sbt

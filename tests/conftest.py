@@ -12,6 +12,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Debug-mode contract guards (e.g. voxel_downsample's zero-attribute
+# precondition) are active throughout the suite.
+os.environ.setdefault("LOCUS_DEBUG_CHECKS", "1")
+
 import jax  # noqa: E402
 
 # The dev-box sitecustomize registers a remote-TPU backend and overrides
