@@ -30,6 +30,15 @@ from locus_tpu.registration.gicp import gicp_register
 # multiple of this many keyframes (see corrections_padded).
 CORRECTIONS_BUCKET = 1024
 
+# Pose-graph shape buckets: optimize() pads the node/factor axes to
+# these multiples so the jitted solver sees FEW distinct shapes as the
+# graph grows over a kilometer-class run (each new shape is a fresh
+# compile — minutes on a relay-hosted device; an unbucketed graph
+# recompiles on every closure batch). Padded poses are unconnected
+# (zero rhs -> zero update through PCG); padded factors are masked out.
+POSE_BUCKET = 256
+FACTOR_BUCKET = 512
+
 
 @dataclass
 class Keyframe:
@@ -61,6 +70,11 @@ class PoseGraphBackend:
     # T_new_k @ inv(T_old_k) per keyframe; feed to mapper.reanchor so the
     # owned map follows the corrected trajectory
     last_corrections: Optional[np.ndarray] = None
+    # jitted device entry points (compiled once per cloud/graph shape;
+    # eager calls would pay one relay round trip PER OP on remote
+    # devices, and the graph solver would recompile per factor count)
+    _verify_fn: Optional[object] = field(default=None, repr=False)
+    _optimize_fns: dict = field(default_factory=dict, repr=False)
 
     # -- event ingestion ----------------------------------------------------
     def add_keyframe(self, stamp: float, pose: np.ndarray, cloud: Optional[PointCloud] = None):
@@ -104,7 +118,15 @@ class PoseGraphBackend:
         guess = jnp.asarray(
             (np.linalg.inv(a.pose) @ b.pose).astype(np.float32)
         )
-        res = gicp_register(b.cloud, a.cloud, guess=guess, cfg=self.registration)
+        if self._verify_fn is None:
+            from functools import partial
+
+            import jax
+
+            self._verify_fn = jax.jit(
+                partial(gicp_register, cfg=self.registration)
+            )
+        res = self._verify_fn(b.cloud, a.cloud, guess=guess)
         if not bool(res.converged) or float(res.fitness) > self.loop_fitness_max:
             return None
         return np.asarray(res.transform, np.float64)
@@ -136,8 +158,44 @@ class PoseGraphBackend:
         info = np.stack(
             [np.eye(6, dtype=np.float32) * f[3] for f in self.factors]
         )
-        g = pg.make_graph(poses, fi, fj, fT, factor_info=info, anchor=0)
-        if mesh is not None:
+        if mesh is None:
+            # bucketed shapes (POSE_BUCKET/FACTOR_BUCKET): unconnected
+            # identity poses + masked identity factors pad to stable jit
+            # shapes, so a growing graph compiles O(log) times per run
+            # instead of once per closure batch
+            F = fi.shape[0]
+            kpad = (-K) % POSE_BUCKET
+            fpad = (-F) % FACTOR_BUCKET
+            poses_p = np.concatenate(
+                [poses, np.tile(np.eye(4, dtype=np.float32), (kpad, 1, 1))]
+            ) if kpad else poses
+            g = pg.make_graph(
+                poses_p,
+                np.concatenate([fi, np.zeros(fpad, np.int32)]) if fpad else fi,
+                np.concatenate([fj, np.zeros(fpad, np.int32)]) if fpad else fj,
+                np.concatenate(
+                    [fT, np.tile(np.eye(4, dtype=np.float32), (fpad, 1, 1))]
+                ) if fpad else fT,
+                factor_info=np.concatenate(
+                    [info, np.tile(np.eye(6, dtype=np.float32), (fpad, 1, 1))]
+                ) if fpad else info,
+                factor_mask=np.concatenate(
+                    [np.ones(F, bool), np.zeros(fpad, bool)]
+                ),
+                anchor=0,
+            )
+            if iterations not in self._optimize_fns:
+                from functools import partial
+
+                import jax
+
+                self._optimize_fns[iterations] = jax.jit(
+                    partial(pg.optimize, iterations=iterations)
+                )
+            g = self._optimize_fns[iterations](g)
+            out = np.asarray(g.poses, np.float64)[:K]
+        else:
+            g = pg.make_graph(poses, fi, fj, fT, factor_info=info, anchor=0)
             shards = mesh.shape.get("map", 1)
             F = fi.shape[0]
             pad = (-F) % shards
@@ -152,9 +210,7 @@ class PoseGraphBackend:
                     anchor=0,
                 )
             g = pg.optimize_sharded(mesh, g, iterations=iterations)
-        else:
-            g = pg.optimize(g, iterations=iterations)
-        out = np.asarray(g.poses, np.float64)
+            out = np.asarray(g.poses, np.float64)
         old = np.stack([k.pose for k in self.keyframes])
         self.last_corrections = np.einsum(
             "kij,kjl->kil", out, np.linalg.inv(old)

