@@ -262,10 +262,14 @@ def step(
         if cfg.filtering.random_filter
         else None
     )
-    scan, fb_count = preprocess(
-        raw_scan, state.voxel_leaf, cfg, key=pre_key,
-        open_space=state.open_space, return_feedback_count=True,
-    )
+    # jax.named_scope on each stage call: compiled-HLO op_names carry
+    # the scope, so tools/hlo_census.py can bucket every fusion into
+    # stage vs unscoped glue (the "other" cost attribution).
+    with jax.named_scope("stage_pre"):
+        scan, fb_count = preprocess(
+            raw_scan, state.voxel_leaf, cfg, key=pre_key,
+            open_space=state.open_space, return_feedback_count=True,
+        )
 
     # -- adaptive input voxelization (Locus.cc:780-810): the feedback law
     # acts on the POST-voxelization count (the reference observes the
@@ -310,26 +314,30 @@ def step(
         xy_cross_section = jnp.asarray(-1.0, jnp.float32)
 
     # -- prior selection (IntegrateSensors) --------------------------------
-    sel = fusion.integrate_sensors(
-        state.fuse, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
-    )
+    with jax.named_scope("stage_prior"):
+        sel = fusion.integrate_sensors(
+            state.fuse, stamp, stamp, cfg.fusion, prev_stamp=state.previous_stamp
+        )
 
     # -- scan-to-scan ------------------------------------------------------
-    odo = odometry.update(
-        state.odom, scan, prior=sel.prior, cfg=cfg.odometry, flat_ground=flat
-    )
+    with jax.named_scope("stage_s2s"):
+        odo = odometry.update(
+            state.odom, scan, prior=sel.prior, cfg=cfg.odometry, flat_ground=flat
+        )
 
     # -- scan-to-submap -----------------------------------------------------
     loc0 = localization.motion_update(state.loc, odo.state.incremental)
     fixed = localization.transform_points_to_fixed_frame(loc0, scan)
     mp_impl = mapper_fabric(cfg.mapper)
-    neighbors, ann_d2 = mp_impl.approx_nearest_neighbors(
-        state.map, fixed, return_d2=True, radius=cfg.mapper.ann_search_radius
-    )
+    with jax.named_scope("stage_ann"):
+        neighbors, ann_d2 = mp_impl.approx_nearest_neighbors(
+            state.map, fixed, return_d2=True, radius=cfg.mapper.ann_search_radius
+        )
     neighbors_sensor = localization.transform_points_to_sensor_frame(loc0, neighbors)
-    meas = localization.measurement_update(
-        loc0, scan, neighbors_sensor, cfg=cfg.localization, flat_ground=flat
-    )
+    with jax.named_scope("stage_s2m"):
+        meas = localization.measurement_update(
+            loc0, scan, neighbors_sensor, cfg=cfg.localization, flat_ground=flat
+        )
 
     # On the first scan there is no map: keep the initial pose.
     have_map = state.map.num_keyframes > 0
@@ -411,15 +419,17 @@ def step(
     elif not cfg.b_add_keyframes_enabled:
         new_map = state.map               # static skip: no insert at all
     else:
-        world_scan = scan.transform(pose)
+        with jax.named_scope("stage_kf"):
+            world_scan = scan.transform(pose)
 
-        # Novelty distances reused from the ANN pass: the query pose there
-        # is the prediction, off from the final pose by the measurement
-        # correction (~cm), which only jitters the leaf-boundary decision.
-        new_map = mp_impl.insert_keyframe(
-            state.map, world_scan, cfg.mapper, nearest_d2=ann_d2,
-            enabled=want_keyframe,
-        )
+            # Novelty distances reused from the ANN pass: the query pose
+            # there is the prediction, off from the final pose by the
+            # measurement correction (~cm), which only jitters the
+            # leaf-boundary decision.
+            new_map = mp_impl.insert_keyframe(
+                state.map, world_scan, cfg.mapper, nearest_d2=ann_d2,
+                enabled=want_keyframe,
+            )
     last_kf_pose = jnp.where(want_keyframe, pose, state.last_keyframe_pose)
 
     # -- MSW refresh (Locus.cc:536-538; velocity gates lo_settings:47-62) --
@@ -434,9 +444,10 @@ def step(
             & (jnp.mean(vb.rot) < cfg.mapper.rotational_velocity_threshold)
         )
         want_refresh = moved_msw & slow & (new_map.num_keyframes > 0)
-        new_map = mp_impl.refresh_msw(
-            new_map, pos, cfg.mapper, enabled=want_refresh
-        )
+        with jax.named_scope("stage_msw"):
+            new_map = mp_impl.refresh_msw(
+                new_map, pos, cfg.mapper, enabled=want_refresh
+            )
     else:
         want_refresh = jnp.asarray(False)
 

@@ -245,7 +245,7 @@ def _replay_body(cfg: LocusConfig):
     return body
 
 
-def make_scan_replay(cfg: LocusConfig, mesh=None):
+def make_scan_replay(cfg: LocusConfig, mesh=None, unroll: int = 4):
     """Device-side replay: one compiled program runs the whole sequence
     via lax.scan (amortizes host dispatch — the bench path). Returns
     replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
@@ -266,14 +266,14 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
     @partial(jax.jit, donate_argnums=(0,))
     def _replay(state, packed):
         # unroll amortizes the per-iteration while-loop/dispatch
-        # overhead of the scan across 4 stitched bodies: 305 -> 329
-        # scans/s measured on v5e (unroll=2: 320). Value-preserving
-        # (same ops per scan, same order — replay CLI byte-identical,
-        # sharded==single and live==replay equivalence tests green);
-        # the mesh/batched paths below keep unroll=1: their compile
-        # cost is already the dryrun's long pole, and the batched
-        # artifacts (SCALING_r04) are measured on the unrolled=1 body.
-        return jax.lax.scan(body, state, packed, unroll=4)
+        # overhead of the scan across `unroll` stitched bodies: 305 ->
+        # 329 scans/s measured on v5e at 4 (unroll=2: 320). Value-
+        # preserving (same ops per scan, same order — replay CLI
+        # byte-identical, sharded==single and live==replay equivalence
+        # tests green); the mesh/batched paths below default to
+        # unroll=1: their compile cost is already the dryrun's long
+        # pole (measured batched economics: see SCALING_r05).
+        return jax.lax.scan(body, state, packed, unroll=unroll)
 
     if mesh is None:
         return _replay
@@ -313,7 +313,8 @@ def make_scan_replay(cfg: LocusConfig, mesh=None):
 
 
 def make_batched_replay(
-    cfg: LocusConfig, mesh=None, use_pallas: Optional[bool] = None
+    cfg: LocusConfig, mesh=None, use_pallas: Optional[bool] = None,
+    unroll: int = 1,
 ):
     """Multi-sequence batch replay (the pod-scale DP axis, SURVEY §2.2
     multi-robot row): vmap over a leading sequence axis.
@@ -333,7 +334,7 @@ def make_batched_replay(
     body = _replay_body(cfg)
 
     def replay_one(state, packed):
-        return jax.lax.scan(body, state, packed)
+        return jax.lax.scan(body, state, packed, unroll=unroll)
 
     # batch axis: state pytree leading dim, packed arrays (T, B, ...)
     vreplay = jax.vmap(replay_one, in_axes=(0, 1), out_axes=(0, 1))
@@ -449,6 +450,10 @@ def run_sequence(
     from locus_tpu import localization as loc_mod
     from locus_tpu import pipeline as pl_mod
 
+    # jitted keyframe-verification preprocess: the eager call was one
+    # relay round trip PER OP on remote devices (~seconds per keyframe)
+    kf_pre = jax.jit(lambda raw, leaf: pl_mod.preprocess(raw, leaf, cfg))
+
     kf_since_opt = 0
     device_outs = []
     for i in range(n):
@@ -475,7 +480,7 @@ def run_sequence(
                 jnp.zeros(args[0].shape[0], jnp.float32),
                 args[1],
             )
-            kf_cloud = pl_mod.preprocess(raw, jnp.asarray(0.5), cfg)
+            kf_cloud = kf_pre(raw, jnp.asarray(0.5))
             backend.add_keyframe(
                 float(seq.stamps[i]), np.asarray(out.pose), cloud=kf_cloud
             )

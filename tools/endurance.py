@@ -79,6 +79,11 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache: endurance iterations re-run the same
+    # production-shape programs; cache them across invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/locus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import dataclasses
 
     import jax.numpy as jnp
@@ -93,7 +98,6 @@ def main():
     from locus_tpu.metrics import ate_rmse, rpe
     from locus_tpu.runner import (
         _reanchor_jit,
-        make_replay_step,
         make_scan_replay,
         pack_scan,
         pack_sequence,
@@ -148,7 +152,43 @@ def main():
         flush=True,
     )
 
-    rstep = make_replay_step(cfg)
+    # ONE device->host fetch per scan: a packed (20,) vector of pose +
+    # the per-scan counters this harness tracks. Separate fetches of
+    # out.pose/out.map_size/out.keyframe_inserted/... each cost a full
+    # relay round trip (~26 ms) — 5 of them capped the host loop at
+    # ~7 scans/s regardless of compute.
+    from functools import partial
+
+    from locus_tpu import fusion as fusion_mod
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def estep(state, scan_xyz, scan_mask, stamp, imu_s, imu_q, odom_s, odom_p, seq_id):
+        fuse = fusion_mod.push_imu_batch(state.fuse, imu_s, imu_q)
+        fuse = fusion_mod.push_odom_batch(fuse, odom_s, odom_p)
+        state = state._replace(fuse=fuse)
+        raw = PointCloud(
+            jnp.where(scan_mask[:, None], scan_xyz, PAD_COORD),
+            jnp.zeros_like(scan_xyz),
+            jnp.zeros(scan_xyz.shape[0], jnp.float32),
+            scan_mask,
+        )
+        state, out = pipeline.step(state, raw, stamp, cfg, seq=seq_id)
+        vec = jnp.concatenate(
+            [
+                out.pose.ravel(),
+                jnp.stack(
+                    [
+                        out.map_size.astype(jnp.float32),
+                        out.keyframe_inserted.astype(jnp.float32),
+                        out.msw_refreshed.astype(jnp.float32),
+                        state.map.write_ptr.astype(jnp.float32),
+                    ]
+                ),
+            ]
+        )
+        return state, vec
+
+    rstep = estep
     state = pipeline.init_state_from_config(
         cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
     )
@@ -158,6 +198,10 @@ def main():
         loop_distance=3.0, min_index_gap=20, loop_fitness_max=0.12
     )
     mp_impl = mapper_fabric(cfg.mapper)
+    # jitted keyframe-verification preprocess (eager = one relay round
+    # trip per op: ~2.6 s per keyframe, measured — it capped the first
+    # endurance attempt at 1.8 scans/s)
+    kf_pre = jax.jit(lambda raw, leaf: pipeline.preprocess(raw, leaf, cfg))
 
     def packed_for(i):
         xyz, valid = synthetic.simulate_scan(
@@ -199,15 +243,16 @@ def main():
             th = threading.Thread(target=prefetch, args=(i + 1,))
             th.start()
         t0 = time.perf_counter()
-        state, out = rstep(state, *pk)
-        pose = np.asarray(out.pose)  # per-scan fence (callback latency)
+        state, outvec = rstep(state, *pk)
+        vec = np.asarray(outvec)  # the ONE per-scan fence/fetch
         t1 = time.perf_counter()
         scan_times[i] = t1 - t0
+        pose = vec[:16].reshape(4, 4)
         poses[i] = pose
-        map_sizes[i] = int(out.map_size)
-        kf_inserted = bool(out.keyframe_inserted)
-        msw_count += int(bool(out.msw_refreshed))
-        ptr = int(state.map.write_ptr) if hasattr(state.map, "write_ptr") else 0
+        map_sizes[i] = int(vec[16])
+        kf_inserted = vec[17] > 0.5
+        msw_count += int(vec[18] > 0.5)
+        ptr = int(vec[19])
         if ptr < prev_ptr:
             wraps += 1  # non-wrapping window restarted at 0
         prev_ptr = ptr
@@ -220,7 +265,7 @@ def main():
                 jnp.zeros(pk[0].shape[0], jnp.float32),
                 pk[1],
             )
-            kf_cloud = pipeline.preprocess(raw, jnp.asarray(0.5), cfg)
+            kf_cloud = kf_pre(raw, jnp.asarray(0.5))
             backend.add_keyframe(float(seq.stamps[i]), pose, cloud=kf_cloud)
             kf_count += 1
             kf_since_opt += 1
