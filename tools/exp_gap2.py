@@ -41,18 +41,22 @@ def main():
     first = {k: v[:48] for k, v in packed_all.items()}
     second = {k: v[48:] for k, v in packed_all.items()}
 
-    def make_replay(cfg):
+    def make_replay(cfg, with_seq=True, with_sensors=True):
         def body(state, inp):
-            fu = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
-            fu = fusion.push_odom_batch(fu, inp["odom_s"], inp["odom_p"])
-            state = state._replace(fuse=fu)
+            if with_sensors:
+                fu = fusion.push_imu_batch(state.fuse, inp["imu_s"], inp["imu_q"])
+                fu = fusion.push_odom_batch(fu, inp["odom_s"], inp["odom_p"])
+                state = state._replace(fuse=fu)
             raw = PointCloud(
                 jnp.where(inp["scan_mask"][:, None], inp["scan_xyz"], PAD_COORD),
                 jnp.zeros_like(inp["scan_xyz"]),
                 jnp.zeros(inp["scan_xyz"].shape[0], jnp.float32),
                 inp["scan_mask"],
             )
-            state, out = pipeline.step(state, raw, inp["stamps"], cfg, seq=inp["seq_ids"])
+            state, out = pipeline.step(
+                state, raw, inp["stamps"], cfg,
+                seq=inp["seq_ids"] if with_seq else None,
+            )
             return state, (out.pose, out.map_size, out.keyframe_inserted)
 
         return partial(jax.jit, donate_argnums=(0,))(
@@ -75,8 +79,8 @@ def main():
     def touch(x):
         return jnp.sum(x)
 
-    def rate(cfg, reps=3):
-        replay = make_replay(cfg)
+    def rate(cfg, reps=3, **mk):
+        replay = make_replay(cfg, **mk)
         st = jax.tree_util.tree_map(jnp.asarray, warm_host)
         _, (p, _, kfi) = replay(st, second)
         np.asarray(p)
@@ -115,8 +119,31 @@ def main():
             ),
         ),
     }
+    # glue-region toggles (VERDICT r4 next #2: attribute the non-stage
+    # "other" by measured deltas from the same warm state)
+    variants["warm_no_adaptive_leaf"] = cfg0.replace(
+        b_adaptive_input_voxelization=False
+    )
+    variants["warm_fusion_none"] = cfg0.replace(
+        fusion=dc.replace(cfg0.fusion, data_integration_mode=0)
+    )
+    mk_extra = {
+        "warm_no_seq_stats": (cfg0, {"with_seq": False}),
+        "warm_no_sensor_push": (
+            cfg0.replace(fusion=dc.replace(cfg0.fusion, data_integration_mode=0)),
+            {"with_sensors": False},
+        ),
+    }
     for name, cfg in variants.items():
         r, kf = rate(cfg)
+        report[name] = {
+            "scans_per_s": round(r, 1),
+            "ms_per_scan": round(1000.0 / r, 3),
+            "kf_inserted": kf,
+        }
+        print(json.dumps({name: report[name]}), flush=True)
+    for name, (cfg, mk) in mk_extra.items():
+        r, kf = rate(cfg, **mk)
         report[name] = {
             "scans_per_s": round(r, 1),
             "ms_per_scan": round(1000.0 / r, 3),
