@@ -148,9 +148,19 @@ class BoxWorld:
     # -- ray casting --------------------------------------------------------
     def raycast(self, origins: np.ndarray, dirs: np.ndarray, max_range: float = 100.0):
         """Batch ray cast: origins (N,3), dirs (N,3) unit. Returns
-        (hits (N,3) float32, valid (N,) bool)."""
+        (hits (N,3) float32, valid (N,) bool).
+
+        Shells form a UNION of free space: a ray keeps going while its
+        current exit point lies inside ANY other shell, and only the
+        union boundary is a wall. (The r1-r4 version took the nearest
+        single-shell exit, which planted *position-dependent phantom
+        walls* inside every shell overlap — consistent-looking geometry
+        per scan but different between scans, which read as up to the
+        overlap extent of registration error. Harmless for the thin
+        doorway overlaps of the urban world; catastrophic for the 8x8 m
+        corner overlaps of circuit_world — 13 m/100 m drift, the
+        'responsible defect' of the first ENDURANCE run.)"""
         n = origins.shape[0]
-        t_best = np.full(n, max_range, dtype=np.float64)
         inv = 1.0 / np.where(np.abs(dirs) < 1e-12, 1e-12, dirs)
 
         def slab(lo, hi):
@@ -162,12 +172,27 @@ class BoxWorld:
             exit_ = tmax.min(axis=1)
             return enter, exit_
 
-        for lo, hi in self.shells:
-            # inside a shell: hit at exit point
-            enter, exit_ = slab(lo, hi)
-            hit = (exit_ > 0) & (enter < exit_)
-            t = np.where(hit, exit_, np.inf)
-            t_best = np.minimum(t_best, t)
+        # precompute per-shell (enter, exit) along each ray
+        shell_ee = [slab(lo, hi) for lo, hi in self.shells]
+
+        # union exit: advance t to the farthest exit among shells whose
+        # interval contains the current t; iterate until fixed point
+        # (<= #shells rounds — each round leaves at least one shell
+        # permanently behind).
+        t_exit = np.zeros(n, dtype=np.float64)
+        eps = 1e-9
+        for _ in range(max(len(self.shells), 1)):
+            new_t = t_exit
+            for enter, exit_ in shell_ee:
+                covers = (enter <= t_exit + eps) & (exit_ > t_exit + eps)
+                new_t = np.where(covers, np.maximum(new_t, exit_), new_t)
+            if np.all(new_t <= t_exit + eps):
+                break
+            t_exit = new_t
+        inside_any = t_exit > eps
+        t_best = np.where(inside_any, t_exit, max_range)
+        t_best = np.minimum(t_best, max_range)
+
         for lo, hi in self.obstacles:
             enter, exit_ = slab(lo, hi)
             hit = (enter > 1e-9) & (enter < exit_)

@@ -233,3 +233,28 @@ def test_fiducial_initial_pose_from_config():
     np.testing.assert_allclose(
         np.asarray(st.odom.integrated), pose, atol=1e-6
     )
+
+
+def test_raycast_union_of_overlapping_shells():
+    """Overlapping shells are a UNION of free space: the exit point must
+    be the union boundary, identical from any origin inside — not a
+    position-dependent phantom wall at the first shell's exit (the
+    defect behind the first ENDURANCE run's 13 m/100 m drift)."""
+    import numpy as np
+
+    from locus_tpu.io.synthetic import BoxWorld
+
+    w = BoxWorld()
+    w.add_shell([0.0, -1.0, -1.0], [10.0, 1.0, 1.0])   # along +x
+    w.add_shell([8.0, -1.0, -1.0], [18.0, 1.0, 1.0])   # overlaps [8,10]
+    d = np.asarray([[1.0, 0.0, 0.0]])
+    for ox in (1.0, 5.0, 9.0, 12.0):
+        hits, valid = w.raycast(np.asarray([[ox, 0.0, 0.0]]), d)
+        assert valid[0]
+        np.testing.assert_allclose(hits[0, 0], 18.0, atol=1e-5), ox
+
+    # a ray that leaves through a non-overlapped wall is unchanged
+    hits, valid = w.raycast(
+        np.asarray([[5.0, 0.0, 0.0]]), np.asarray([[0.0, 1.0, 0.0]])
+    )
+    np.testing.assert_allclose(hits[0, 1], 1.0, atol=1e-5)

@@ -72,6 +72,16 @@ def main():
         "--ci", action="store_true",
         help="scaled-down CPU smoke (small shapes, short circuit)",
     )
+    ap.add_argument(
+        "--loop-distance", type=float, default=4.0,
+        help="loop-candidate spatial gate [m]; must exceed the lap-to-"
+        "lap drift or revisits are never candidates",
+    )
+    ap.add_argument(
+        "--loop-corr", type=float, default=1.0,
+        help="GICP corr_dist for closure verification [m]; must pull in "
+        "the residual inter-keyframe error after the pose guess",
+    )
     args = ap.parse_args()
 
     import jax
@@ -193,8 +203,15 @@ def main():
     )
     state = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
 
+    from locus_tpu.config import RegistrationConfig
+
     backend = PoseGraphBackend(
-        loop_distance=3.0, min_index_gap=20, loop_fitness_max=0.12
+        loop_distance=args.loop_distance,
+        min_index_gap=20,
+        loop_fitness_max=0.12,
+        registration=RegistrationConfig(
+            corr_dist=args.loop_corr, iterations=40
+        ),
     )
     mp_impl = mapper_fabric(cfg.mapper)
     # jitted keyframe-verification preprocess (eager = one relay round
@@ -395,6 +412,14 @@ def main():
     result = {
         "scans": n,
         "laps": args.laps,
+        "note": (
+            "sustained_scans_per_sec is the per-scan HOST loop through "
+            "the dev-box HTTP relay (scan_p50_ms includes the ~26 ms "
+            "relay floor, LATENCY_r05.json); the deployment-relevant "
+            "sustained number is steady_state_full_occupancy — the "
+            "same step compiled in lax.scan, continuing from the final "
+            "(wrapped, evicted, reanchored) endurance state."
+        ),
         "path_length_m": round(dist, 1),
         "config": {
             "scan_capacity": cfg.scan_capacity,
