@@ -82,6 +82,16 @@ def main():
         help="GICP corr_dist for closure verification [m]; must pull in "
         "the residual inter-keyframe error after the pose guess",
     )
+    ap.add_argument(
+        "--no-backend", action="store_true",
+        help="pure odometry (no pose-graph/closures): the clean drift-"
+        "rate baseline — closure push-backs are pose discontinuities "
+        "that contaminate RPE-based drift",
+    )
+    ap.add_argument(
+        "--box", type=float, default=None,
+        help="override mapper box_filter_size [m] (MSW window extent)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -149,6 +159,11 @@ def main():
             cfg.mapper,
             translational_velocity_threshold=1e3,
             rotational_velocity_threshold=1e3,
+            **(
+                {"box_filter_size": args.box}
+                if args.box is not None
+                else {}
+            ),
         )
     )
 
@@ -277,7 +292,9 @@ def main():
             wraps += 1  # non-wrapping window restarted at 0
         prev_ptr = ptr
 
-        if kf_inserted:
+        if kf_inserted and args.no_backend:
+            kf_count += 1
+        elif kf_inserted:
             tb0 = time.perf_counter()
             raw = PointCloud(
                 jnp.where(pk[1][:, None], pk[0], PAD_COORD),
