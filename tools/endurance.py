@@ -365,6 +365,28 @@ def main():
     d100 = max(1, int(100.0 / args.step))
     t_rpe100, r_rpe100 = rpe(poses, gt, delta=min(d100, n - 1))
     t_rpe1, r_rpe1 = rpe(poses, gt)
+
+    # corner vs straight attribution: per-step translational RPE
+    # bucketed by the GT yaw rate of the step (corners turn ~9.5
+    # deg/step on the default circuit)
+    def _yaw(R):
+        return np.arctan2(R[:, 1, 0], R[:, 0, 0])
+
+    gy = np.abs(np.diff(np.unwrap(_yaw(gt))))
+    step_err = np.zeros(n - 1)
+    for i in range(n - 1):
+        de = np.linalg.inv(poses[i]) @ poses[i + 1]
+        dg = np.linalg.inv(gt[i]) @ gt[i + 1]
+        step_err[i] = np.linalg.norm((np.linalg.inv(dg) @ de)[:3, 3])
+    corner = gy > np.deg2rad(2.0)
+    seg_attr = {
+        "corner_steps": int(corner.sum()),
+        "rpe_step_t_corner_m": round(float(np.median(step_err[corner])), 5)
+        if corner.any() else None,
+        "rpe_step_t_straight_m": round(
+            float(np.median(step_err[~corner])), 5
+        ),
+    }
     final_err = float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3]))
 
     # throughput decay check: host-loop rate over run thirds
@@ -449,6 +471,7 @@ def main():
         "drift_per_100m_m": round(float(t_rpe100), 4),
         "rpe_step_t_m": round(float(t_rpe1), 5),
         "rpe_step_r_deg": round(float(np.degrees(r_rpe1)), 5),
+        "segment_attribution": seg_attr,
         "per_lap": lap_metrics,
         "keyframes": kf_count,
         "ring_wraps": wraps,
