@@ -133,7 +133,12 @@ def main():
         "vs_baseline": round(best / 10.0, 2),
         "estimator": "median_of_5",
         "best": round(float(np.max(rates)), 2),
-        "std": round(float(np.std(rates)), 2),
+        # robust band: median absolute deviation (a single relay-
+        # jittered rep would dominate a std)
+        "mad": round(
+            float(np.median(np.abs(np.asarray(rates) - best))), 2
+        ),
+        "rates": [round(float(r), 1) for r in sorted(rates)],
         "platform": platform,
         "ate_m": round(ate, 4),
         "scans": num_scans,
