@@ -92,6 +92,12 @@ def main():
         "--box", type=float, default=None,
         help="override mapper box_filter_size [m] (MSW window extent)",
     )
+    ap.add_argument(
+        "--no-msw", action="store_true",
+        help="disable the sliding window: the ring fills to TRUE full "
+        "capacity (131k) and wraps by overwrite only — the literal "
+        "full-occupancy throughput scenario",
+    )
     args = ap.parse_args()
 
     import jax
@@ -154,16 +160,17 @@ def main():
     # (lo_settings.yaml translational_velocity_threshold) — a gate, not
     # a correctness condition (same reasoning as __graft_entry__'s
     # dryrun). Raise it so the MSW refresh cycles actually exercise.
+    over = {}
+    if args.box is not None:
+        over["box_filter_size"] = args.box
+    if args.no_msw:
+        over["b_enable_msw"] = False
     cfg = cfg.replace(
         mapper=dataclasses.replace(
             cfg.mapper,
             translational_velocity_threshold=1e3,
             rotational_velocity_threshold=1e3,
-            **(
-                {"box_filter_size": args.box}
-                if args.box is not None
-                else {}
-            ),
+            **over,
         )
     )
 

@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--out", required=True)
     ap.add_argument("--scans", type=int, default=50)
     ap.add_argument("--seq", default=None)
+    ap.add_argument(
+        "--world", default=None,
+        help="synthetic world name (tunnel|urban|cave|loop|circuit); "
+        "default tunnel",
+    )
     ap.add_argument("--profile", default=None)
     ap.add_argument("--platform", default=None)
     ap.add_argument(
@@ -43,7 +48,11 @@ def main():
     from locus_tpu import diagnostics
     from locus_tpu.config import LocusConfig, load_yaml
     from locus_tpu.geometry import se3
-    from locus_tpu.io.dataset import Sequence, make_tunnel_sequence
+    from locus_tpu.io.dataset import (
+        Sequence,
+        make_tunnel_sequence,
+        make_world_sequence,
+    )
     from locus_tpu.metrics import ate_rmse
     from locus_tpu.runner import run_sequence
     import jax.numpy as jnp
@@ -58,11 +67,14 @@ def main():
             points_to_process_in_callback=1500,
         )
     )
-    seq = (
-        Sequence.load(args.seq)
-        if args.seq
-        else make_tunnel_sequence(num_scans=args.scans, azimuth_steps=900)
-    )
+    if args.seq:
+        seq = Sequence.load(args.seq)
+    elif args.world:
+        seq = make_world_sequence(
+            args.world, num_scans=args.scans, azimuth_steps=900
+        )
+    else:
+        seq = make_tunnel_sequence(num_scans=args.scans, azimuth_steps=900)
 
     if args.trace:
         import jax.profiler
