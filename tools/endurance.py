@@ -98,6 +98,13 @@ def main():
         "capacity (131k) and wraps by overwrite only — the literal "
         "full-occupancy throughput scenario",
     )
+    ap.add_argument(
+        "--compiled", action="store_true",
+        help="run the WHOLE sequence as chunked device-side lax.scan "
+        "calls (no per-scan host loop, no backend): the sustained "
+        "compiled throughput over a full km-class run, with chunk "
+        "uploads fenced out of the timed region",
+    )
     args = ap.parse_args()
 
     import jax
@@ -182,6 +189,110 @@ def main():
         f"side={side:.1f} m, path={args.scans * args.step:.0f} m",
         flush=True,
     )
+
+    if args.compiled:
+        # ---- whole-run chunked device replay ---------------------------
+        from locus_tpu.io.dataset import Sequence as _Seq
+
+        n = args.scans
+        CH = 250
+        replay = make_scan_replay(cfg)
+
+        def gen_scan(i):
+            return synthetic.simulate_scan(
+                world, seq.gt_poses[i], azimuth_steps=args.azimuth,
+                noise=0.005, seed=args.seed + i,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        print("pre-generating scans...", flush=True)
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            gen = list(pool.map(gen_scan, range(n)))
+        chunks = []
+        for c0 in range(0, n, CH):
+            c1 = min(c0 + CH, n)
+            sub = _Seq(
+                scans=np.stack([gen[i][0] for i in range(c0, c1)]),
+                scan_valid=np.stack([gen[i][1] for i in range(c0, c1)]),
+                stamps=seq.stamps[c0:c1],
+                gt_poses=seq.gt_poses[c0:c1],
+                imu_stamps=seq.imu_stamps,
+                imu_quats=seq.imu_quats,
+                odom_stamps=seq.odom_stamps,
+                odom_poses=seq.odom_poses,
+            )
+            # seq_ids must stay GLOBAL so drop statistics see no gaps
+            pk = pack_sequence(sub, cfg)
+            pk["seq_ids"] = jnp.arange(c0, c1, dtype=jnp.int32)
+            chunks.append(pk)
+        del gen
+
+        state = pipeline.init_state_from_config(
+            cfg, initial_pose=jnp.asarray(seq.gt_poses[0], jnp.float32)
+        )
+        state = jax.tree_util.tree_map(
+            lambda x: jnp.array(x, copy=True), state
+        )
+        # compile once on chunk 0 shapes with a throwaway state
+        warm = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
+        _, (wp, _, _) = replay(warm, chunks[0])
+        np.asarray(wp)
+
+        poses_list = []
+        sizes_list = []
+        t_dev = 0.0
+        for ci, pk in enumerate(chunks):
+            pk_dev = jax.tree_util.tree_map(jnp.asarray, pk)
+            jax.block_until_ready(pk_dev["scan_xyz"])
+            np.asarray(state.previous_stamp)  # fence state ready
+            t0 = time.perf_counter()
+            state, (p, _, ms) = replay(state, pk_dev)
+            p = np.asarray(p)
+            t_dev += time.perf_counter() - t0
+            poses_list.append(p.astype(np.float64))
+            sizes_list.append(np.asarray(ms))
+            print(
+                f"  chunk {ci + 1}/{len(chunks)}  "
+                f"{(ci + 1) * CH / t_dev:.1f} scans/s sustained",
+                flush=True,
+            )
+        poses = np.concatenate(poses_list)[:n]
+        map_sizes = np.concatenate(sizes_list)[:n]
+        gt = seq.gt_poses
+        d100 = max(1, int(100.0 / args.step))
+        t_rpe100, _ = rpe(poses, gt, delta=min(d100, n - 1))
+        result = {
+            "mode": "compiled_chunked_replay",
+            "scans": n,
+            "laps": args.laps,
+            "path_length_m": round(
+                float(np.sum(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1))), 1
+            ),
+            "chunk_scans": CH,
+            "sustained_compiled_scans_per_sec": round(n / t_dev, 2),
+            "device_wall_s": round(t_dev, 2),
+            "ate_m": round(
+                ate_rmse(poses[:, :3, 3], gt[:, :3, 3], align=False), 4
+            ),
+            "final_err_m": round(
+                float(np.linalg.norm(poses[-1, :3, 3] - gt[-1, :3, 3])), 4
+            ),
+            "drift_per_100m_m": round(float(t_rpe100), 4),
+            "map_size_final": int(map_sizes[-1]),
+            "map_size_peak": int(map_sizes.max()),
+            "note": (
+                "whole km-class run as chunked lax.scan device programs "
+                "(one compile, chunk uploads fenced out); no backend — "
+                "pure front-end sustained throughput including every "
+                "map wrap/MSW cycle of the full run"
+            ),
+        }
+        print(json.dumps(result, indent=2))
+        if args.json:
+            with open(args.json, "w") as f:
+                json.dump(result, f, indent=2)
+        return
 
     # ONE device->host fetch per scan: a packed (20,) vector of pose +
     # the per-scan counters this harness tracks. Separate fetches of
