@@ -313,6 +313,13 @@ def make_circuit_trajectory(
     (num_poses, 4, 4); consecutive laps retrace the same path, so every
     lap-2+ keyframe is a loop-closure revisit of lap 1."""
     rc = corner_radius
+    if side <= 2.0 * rc:
+        raise ValueError(
+            f"circuit side {side:.2f} <= 2*corner_radius {2 * rc:.2f}: "
+            "the rounded-square path would self-intersect (negative "
+            "straights); shrink corner_radius or grow the circuit "
+            "(dataset.circuit_geometry clamps this automatically)"
+        )
     L = side - 2.0 * rc
     qc = np.pi * rc / 2.0
     P = 4.0 * (L + qc)

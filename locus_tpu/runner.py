@@ -245,7 +245,9 @@ def _replay_body(cfg: LocusConfig):
     return body
 
 
-def make_scan_replay(cfg: LocusConfig, mesh=None, unroll: int = 4):
+def make_scan_replay(
+    cfg: LocusConfig, mesh=None, unroll: Optional[int] = None
+):
     """Device-side replay: one compiled program runs the whole sequence
     via lax.scan (amortizes host dispatch — the bench path). Returns
     replay(state, packed) -> (state, (poses (T,4,4), cond (T,),
@@ -260,8 +262,16 @@ def make_scan_replay(cfg: LocusConfig, mesh=None, unroll: int = 4):
     parallelism degree" contract of multithreaded_gicp/gicp.hpp:463-498)
     and the mapping layer merges its per-shard results with explicit
     all_gather/psum collectives (dispatch.shard_axis context). Shard the
-    state with parallel.mesh.single_state_shardings first."""
+    state with parallel.mesh.single_state_shardings first.
+
+    `unroll`: lax.scan unroll of the replay body. None resolves to 4 on
+    the single-chip path (measured +8 % on v5e) and 1 on the mesh path
+    (compile cost is the dryrun's long pole; unroll was measured within
+    noise on batched bodies, SCALING_r05) — pass an int to override
+    either."""
     body = _replay_body(cfg)
+    single_unroll = 4 if unroll is None else unroll
+    mesh_unroll = 1 if unroll is None else unroll
 
     @partial(jax.jit, donate_argnums=(0,))
     def _replay(state, packed):
@@ -273,7 +283,7 @@ def make_scan_replay(cfg: LocusConfig, mesh=None, unroll: int = 4):
         # tests green); the mesh/batched paths below default to
         # unroll=1: their compile cost is already the dryrun's long
         # pole (measured batched economics: see SCALING_r05).
-        return jax.lax.scan(body, state, packed, unroll=unroll)
+        return jax.lax.scan(body, state, packed, unroll=single_unroll)
 
     if mesh is None:
         return _replay
@@ -288,8 +298,8 @@ def make_scan_replay(cfg: LocusConfig, mesh=None, unroll: int = 4):
     def inner(state, packed):
         if n_shards > 1:
             with shard_axis("map", n_shards):
-                return jax.lax.scan(body, state, packed)
-        return jax.lax.scan(body, state, packed)
+                return jax.lax.scan(body, state, packed, unroll=mesh_unroll)
+        return jax.lax.scan(body, state, packed, unroll=mesh_unroll)
 
     cache = {}
 

@@ -32,22 +32,18 @@ import numpy as np
 
 
 def build_sequence_streams(num_scans, step, laps, rate_hz, seed):
-    """GT trajectory + sensor streams (cheap); scans stay lazy."""
-    from locus_tpu.io import synthetic
-    from locus_tpu.io.dataset import Sequence, _with_simulated_sensors
-
-    rc = 3.0
-    path_per_lap = num_scans * step / laps
-    side = (path_per_lap + 8.0 * rc - 2.0 * np.pi * rc) / 4.0
-    world = synthetic.circuit_world(
-        side=side,
-        half_width=4.0,
-        pillar_every=min(8.0, max(2.5, side / 8.0)),
-        room_every=min(30.0, max(6.0, side / 2.0)),
-        seed=seed + 11,
+    """GT trajectory + sensor streams (cheap); scans stay lazy. The
+    geometry comes from dataset.circuit_geometry — the SAME formulas the
+    scaled CI test (make_circuit_sequence) uses, so the artifact and
+    its CI leg stay in the same world family."""
+    from locus_tpu.io.dataset import (
+        Sequence,
+        _with_simulated_sensors,
+        circuit_geometry,
     )
-    gt = synthetic.make_circuit_trajectory(
-        num_scans, side=side, corner_radius=rc, laps=laps
+
+    world, gt, side = circuit_geometry(
+        num_scans, step=step, laps=laps, seed=seed
     )
     placeholder = Sequence(
         scans=np.zeros((num_scans, 1, 3), np.float32),
@@ -234,27 +230,47 @@ def main():
         state = jax.tree_util.tree_map(
             lambda x: jnp.array(x, copy=True), state
         )
-        # compile once on chunk 0 shapes with a throwaway state
-        warm = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), state)
-        _, (wp, _, _) = replay(warm, chunks[0])
-        np.asarray(wp)
+        # compile every DISTINCT chunk shape up front with throwaway
+        # states (a partial tail chunk is a different scan length — a
+        # fresh compile inside the timed region would be minutes on the
+        # relay; review finding)
+        warmed = set()
+        for pk in chunks:
+            shape = pk["stamps"].shape[0]
+            if shape in warmed:
+                continue
+            warmed.add(shape)
+            warm = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), state
+            )
+            _, (wp, _, _) = replay(warm, pk)
+            np.asarray(wp)
+
+        @jax.jit
+        def touch(x):
+            return jnp.sum(x)
 
         poses_list = []
         sizes_list = []
         t_dev = 0.0
+        done = 0
         for ci, pk in enumerate(chunks):
             pk_dev = jax.tree_util.tree_map(jnp.asarray, pk)
-            jax.block_until_ready(pk_dev["scan_xyz"])
+            # upload fence: a jitted reduction's host fetch serializes
+            # behind the transfer (block_until_ready can return early on
+            # the relay backend — CLAUDE.md)
+            np.asarray(touch(pk_dev["scan_xyz"]))
             np.asarray(state.previous_stamp)  # fence state ready
             t0 = time.perf_counter()
             state, (p, _, ms) = replay(state, pk_dev)
             p = np.asarray(p)
             t_dev += time.perf_counter() - t0
+            done += p.shape[0]
             poses_list.append(p.astype(np.float64))
             sizes_list.append(np.asarray(ms))
             print(
                 f"  chunk {ci + 1}/{len(chunks)}  "
-                f"{(ci + 1) * CH / t_dev:.1f} scans/s sustained",
+                f"{done / t_dev:.1f} scans/s sustained",
                 flush=True,
             )
         poses = np.concatenate(poses_list)[:n]
@@ -532,10 +548,13 @@ def main():
             )
             tail_scans.append(xyz)
             tail_valid.append(valid)
+        # GLOBAL stamps: the continuation state's previous_stamp is the
+        # end-of-run time; rebased stamps would give wrong dt and pull
+        # IMU/odom windows from the run's FIRST seconds (review finding)
         tail_seq = _Seq(
             scans=np.stack(tail_scans),
             scan_valid=np.stack(tail_valid),
-            stamps=seq.stamps[idx0:] - seq.stamps[idx0],
+            stamps=seq.stamps[idx0:],
             gt_poses=seq.gt_poses[idx0:],
             imu_stamps=seq.imu_stamps,
             imu_quats=seq.imu_quats,
