@@ -14,8 +14,10 @@ README.md:110-160). Exercises what short replays cannot:
 - repeated loop closures + reanchors on every revisit lap
 - drift accumulation over ~1 km of path
 
-Scans are raycast LAZILY in the prefetch thread (pregenerating 2000
-azimuth-1800 sweeps would be ~700 MB of host RAM for no benefit).
+Scans are raycast LAZILY in a prefetch pool (one big-world raycast is
+~100-200 ms of GIL-releasing numpy; the pool keeps the device fed).
+--compiled pregenerates instead and replays the whole run as chunked
+device-side lax.scan programs (the sustained-compiled number).
 
 Emits ENDURANCE_r{N}.json: per-lap ATE/RPE, drift rate (m / 100 m),
 ring-wrap / MSW / closure counts, map-size trace, sustained scans/s over
