@@ -75,6 +75,13 @@ def main():
     st, (poses, _, _) = replay(st, packed_warm)
     np.asarray(poses)  # force completion (device->host fetch; some remote
     # PJRT backends return early from block_until_ready on proxy buffers)
+    # one untimed FULL-LENGTH run: the scan count is shape-defining, so
+    # the T=num_scans program compiles HERE, not inside the first timed
+    # rep (which otherwise reads ~1 scan/s and wastes a fifth of the
+    # median's sample — same fix batched_bench got in r4)
+    st = fresh_state()
+    st, (poses, _, _) = replay(st, packed_full)
+    np.asarray(poses)
 
     # timed runs over the full sequence from fresh states. Headline =
     # median of 5 (same estimator as SCALING_r04+; robust to relay
