@@ -97,6 +97,10 @@ def main():
         "full-occupancy throughput scenario",
     )
     ap.add_argument(
+        "--structure", default="ring", choices=["ring", "voxel_hash"],
+        help="mapper structure (the reference's mapperFabric choice)",
+    )
+    ap.add_argument(
         "--compiled", action="store_true",
         help="run the WHOLE sequence as chunked device-side lax.scan "
         "calls (no per-scan host loop, no backend): the sustained "
@@ -165,7 +169,7 @@ def main():
     # (lo_settings.yaml translational_velocity_threshold) — a gate, not
     # a correctness condition (same reasoning as __graft_entry__'s
     # dryrun). Raise it so the MSW refresh cycles actually exercise.
-    over = {}
+    over = {"structure": args.structure}
     if args.box is not None:
         over["box_filter_size"] = args.box
     if args.no_msw:
@@ -341,7 +345,11 @@ def main():
                         out.map_size.astype(jnp.float32),
                         out.keyframe_inserted.astype(jnp.float32),
                         out.msw_refreshed.astype(jnp.float32),
-                        state.map.write_ptr.astype(jnp.float32),
+                        # the voxel-hash store has no ring pointer;
+                        # wraps stay 0 there (slot churn is its regime)
+                        getattr(
+                            state.map, "write_ptr", jnp.asarray(0, jnp.int32)
+                        ).astype(jnp.float32),
                     ]
                 ),
             ]
