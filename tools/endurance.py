@@ -101,6 +101,11 @@ def main():
         help="mapper structure (the reference's mapperFabric choice)",
     )
     ap.add_argument(
+        "--method", default="gicp", choices=["gicp", "ndt"],
+        help="registration method for BOTH stages (registration_"
+        "settings.h switch) — NDT at run scale",
+    )
+    ap.add_argument(
         "--compiled", action="store_true",
         help="run the WHOLE sequence as chunked device-side lax.scan "
         "calls (no per-scan host loop, no backend): the sustained "
@@ -182,6 +187,19 @@ def main():
             **over,
         )
     )
+    if args.method != "gicp":
+        cfg = cfg.replace(
+            odometry=dataclasses.replace(
+                cfg.odometry, registration_method=args.method
+            ),
+            localization=dataclasses.replace(
+                cfg.localization,
+                registration=dataclasses.replace(
+                    cfg.localization.registration,
+                    registration_method=args.method,
+                ),
+            ),
+        )
 
     world, seq, side = build_sequence_streams(
         args.scans, args.step, args.laps, 10.0, args.seed
