@@ -334,3 +334,29 @@ def test_live_loop_closure_prewarm_single_compile(seq):
         corr = np.tile(T, (K, 1, 1))
         sess.apply_loop_closure(np.asarray(sess.state.loc.integrated), corr)
     assert len(sess._reanchor_cache) == 1, sess._reanchor_cache.keys()
+
+
+def test_live_serving_endurance_scaled():
+    """Serving-surface endurance CI leg: the live_endurance tool at CI
+    scale — LiveSession through a 2-lap circuit with closures pushed
+    back at serving granularity; the tool itself asserts ZERO fresh
+    jits during serving (prewarm + bucketed corrections contract).
+    Full-scale artifact: LIVE_ENDURANCE_r05.json."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(root, "tools", "live_endurance.py"),
+            "--ci", "--scans", "40", "--laps", "2", "--platform", "cpu",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert '"fresh_jits_during_serving": 0' in r.stdout, r.stdout[-1500:]
