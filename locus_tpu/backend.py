@@ -95,6 +95,42 @@ class PoseGraphBackend:
             self._factor_pairs.add((k - 1, k))
         return k
 
+    def prewarm(self, example_cloud: PointCloud):
+        """Compile the closure-verification GICP and the first-bucket
+        graph optimize BEFORE serving starts (the deployment checklist:
+        no compile should land mid-run on a remote-hosted device).
+        `example_cloud` must have the capacity keyframe clouds will
+        have (the verification-preprocess output). Touches only the
+        jit caches — no keyframes/factors are recorded."""
+        from functools import partial
+
+        import jax
+
+        if self._verify_fn is None:
+            self._verify_fn = jax.jit(
+                partial(gicp_register, cfg=self.registration)
+            )
+        res = self._verify_fn(
+            example_cloud, example_cloud, guess=jnp.eye(4, dtype=jnp.float32)
+        )
+        np.asarray(res.transform)
+        # first-bucket optimize: all-masked identity factors give a
+        # zero gradient; the program is identical to the first real
+        # closure batch's (POSE_BUCKET poses, FACTOR_BUCKET factors)
+        g = pg.make_graph(
+            np.tile(np.eye(4, dtype=np.float32), (POSE_BUCKET, 1, 1)),
+            np.zeros(FACTOR_BUCKET, np.int32),
+            np.zeros(FACTOR_BUCKET, np.int32),
+            np.tile(np.eye(4, dtype=np.float32), (FACTOR_BUCKET, 1, 1)),
+            factor_mask=np.zeros(FACTOR_BUCKET, bool),
+            anchor=0,
+        )
+        if 10 not in self._optimize_fns:
+            self._optimize_fns[10] = jax.jit(
+                partial(pg.optimize, iterations=10)
+            )
+        np.asarray(self._optimize_fns[10](g).poses)
+
     # -- loop closure -------------------------------------------------------
     def find_loop_candidates(self) -> List[tuple]:
         """(i, j) pairs: near in space, far in sequence. One vectorized

@@ -359,4 +359,4 @@ def test_live_serving_endurance_scaled():
         env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
-    assert '"fresh_jits_during_serving": 0' in r.stdout, r.stdout[-1500:]
+    assert '"per_scan_surface_fresh_jits": 0' in r.stdout, r.stdout[-1500:]

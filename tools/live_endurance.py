@@ -8,10 +8,11 @@ apply_loop_closure at serving granularity.
 What this proves beyond tools/endurance.py (which uses the replay-step
 API): the serving surface itself sustains a full run — per-scan
 latency stays inside the 100 ms callback budget for 2000 consecutive
-scans, closure push-backs reuse the ONE prewarmed reanchor program
-(prewarm_loop_closure + the bucketed correction table: zero fresh jits
-after session start, VERDICT r4 weak #4 closed at run scale), and the
-trajectory stays bounded.
+scans, NO per-scan surface (step, keyframe preprocess, closure verify,
+reanchor) ever compiles after the prewarm (asserted via per-function
+jit cache censuses; the graph optimizer's designed pose/factor bucket
+re-jits are counted separately and honestly), and the trajectory stays
+bounded.
 
 Emits LIVE_ENDURANCE_r{N}.json.
 """
@@ -40,10 +41,19 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compilation cache (same pattern as tools/endurance.py):
+    # repeated invocations — including the CI subprocess leg — reuse
+    # the compiled live step where the backend supports serialization
+    jax.config.update("jax_compilation_cache_dir", "/tmp/locus_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import dataclasses
 
     import jax.numpy as jnp
 
+    from endurance import build_sequence_streams  # sibling tool: ONE
+    # home for the circuit world/sensor-stream construction, so the
+    # live artifact and the replay artifact share a world family
     from locus_tpu import pipeline
     from locus_tpu.backend import PoseGraphBackend
     from locus_tpu.config import (
@@ -52,13 +62,8 @@ def main():
         MapperConfig,
         RegistrationConfig,
     )
-    from locus_tpu.core.cloud import PointCloud, PAD_COORD
+    from locus_tpu.core.cloud import PointCloud
     from locus_tpu.io import synthetic
-    from locus_tpu.io.dataset import (
-        Sequence,
-        _with_simulated_sensors,
-        circuit_geometry,
-    )
     from locus_tpu.live import LiveSession
 
     if args.ci:
@@ -94,19 +99,10 @@ def main():
     )
 
     n = args.scans
-    world, gt, side = circuit_geometry(
-        n, step=args.step, laps=args.laps, seed=args.seed
+    world, seq, side = build_sequence_streams(
+        n, args.step, args.laps, 10.0, args.seed
     )
-    seq = _with_simulated_sensors(
-        Sequence(
-            scans=np.zeros((n, 1, 3), np.float32),
-            scan_valid=np.zeros((n, 1), bool),
-            stamps=np.arange(n) / 10.0,
-            gt_poses=gt,
-        ),
-        rate_hz=10.0,
-        seed=args.seed,
-    )
+    gt = seq.gt_poses
     print(
         f"live endurance: {n} scans, {args.laps} laps, side={side:.1f} m",
         flush=True,
@@ -131,12 +127,29 @@ def main():
     DEPTH = 8
     futures = {i: pool.submit(gen, i) for i in range(min(DEPTH, n))}
 
-    # warm the step AND the reanchor before "serving starts" (the
-    # deployment recipe: no compile ever lands on a live scan)
+    # warm EVERY per-scan / per-closure surface before "serving
+    # starts" (the docs/DEPLOYMENT.md checklist): the step itself, the
+    # reanchor (prewarm_loop_closure), the keyframe-verification
+    # preprocess, and the backend's closure GICP + first-bucket graph
+    # optimize. The graph optimizer will still re-jit at its designed
+    # 256-pose / 512-factor bucket crossings mid-run — counted and
+    # reported separately (NOT claimed as zero).
+    from locus_tpu.runner import pack_scan
+
     w_xyz, w_valid = futures[0].result()
     futures[0] = pool.submit(gen, 0)
     sess.process_scan(float(seq.stamps[0]), w_xyz, w_valid)
     sess.prewarm_loop_closure()
+    pxyz, pmask = pack_scan(w_xyz, w_valid, cfg.raw_scan_capacity)
+    warm_raw = PointCloud(
+        jnp.asarray(pxyz),
+        jnp.zeros((cfg.raw_scan_capacity, 3), jnp.float32),
+        jnp.zeros(cfg.raw_scan_capacity, jnp.float32),
+        jnp.asarray(pmask),
+    )
+    warm_cloud = kf_pre(warm_raw, jnp.asarray(0.5))
+    np.asarray(warm_cloud.xyz)
+    backend.prewarm(warm_cloud)
     # reset to a fresh session state, keeping the compiled programs
     sess.state = jax.tree_util.tree_map(
         lambda x: jnp.array(x, copy=True),
@@ -144,13 +157,29 @@ def main():
             cfg, initial_pose=jnp.asarray(gt[0], jnp.float32)
         ),
     )
-    compiles_after_warm = len(sess._reanchor_cache)
+
+    def compile_census():
+        """Compile counts across every jitted surface the serving loop
+        touches (jax's per-function cache sizes)."""
+        return {
+            "reanchor_programs": len(sess._reanchor_cache),
+            "kf_preprocess": kf_pre._cache_size(),
+            "closure_verify": (
+                backend._verify_fn._cache_size() if backend._verify_fn else 0
+            ),
+            "graph_optimize": sum(
+                f._cache_size() for f in backend._optimize_fns.values()
+            ),
+        }
+
+    census_after_warm = compile_census()
 
     lat = np.zeros(n)
     poses = np.zeros((n, 4, 4))
     kf_count = 0
     kf_since = 0
     closures = 0
+    pushbacks = 0
     imu_i = 0
     odo_i = 0
     t0_run = time.perf_counter()
@@ -172,8 +201,6 @@ def main():
         lat[i] = time.perf_counter() - t0
         poses[i] = pose
         if bool(out.keyframe_inserted):
-            from locus_tpu.runner import pack_scan
-
             pxyz, pmask = pack_scan(xyz, valid, cfg.raw_scan_capacity)
             raw = PointCloud(
                 jnp.asarray(pxyz),
@@ -190,11 +217,14 @@ def main():
                 kf_since = 0
                 if backend.try_close_loops() > 0:
                     backend.optimize()
+                    # apply_loop_closure buckets the correction table
+                    # itself; pass the raw (K,4,4) corrections
                     sess.apply_loop_closure(
                         backend.correction_for_latest(),
-                        backend.corrections_padded(),
+                        backend.last_corrections,
                     )
                     closures = backend.loops_found
+                    pushbacks += 1
         if (i + 1) % 400 == 0:
             print(
                 f"  scan {i + 1}/{n}  p50 so far "
@@ -219,27 +249,51 @@ def main():
             float(np.mean(lat * 1e3 < 100.0)) * 100.0, 2
         ),
         "keyframes": kf_count,
-        "loop_closures": int(closures),
+        "loop_factors_added": int(closures),
+        "closure_pushback_events": int(pushbacks),
         "final_err_m": round(final_err, 4),
-        "reanchor_programs_compiled": len(sess._reanchor_cache),
-        "fresh_jits_during_serving": len(sess._reanchor_cache)
-        - compiles_after_warm,
+        "compile_census_after_warm": census_after_warm,
+        "compile_census_after_run": compile_census(),
         "wall_time_s": round(wall, 1),
-        "note": (
-            "the LiveSession serving surface (per-scan process_scan + "
-            "apply_loop_closure push-backs) over a full km-class run; "
-            "latency includes the dev-box relay (~26-33 ms floor, "
-            "LATENCY_r05). fresh_jits_during_serving == 0 is the "
-            "prewarm + bucketed-correction-table contract: no compile "
-            "ever lands on a live scan."
-        ),
     }
+    census_end = result["compile_census_after_run"]
+    # the per-scan surfaces must NEVER compile mid-run; the graph
+    # optimizer may re-jit only at its designed 256-pose / 512-factor
+    # bucket crossings (counted honestly, not claimed zero)
+    per_scan_fresh = sum(
+        census_end[k] - census_after_warm[k]
+        for k in ("reanchor_programs", "kf_preprocess", "closure_verify")
+    )
+    opt_rejits = (
+        census_end["graph_optimize"] - census_after_warm["graph_optimize"]
+    )
+    expected_opt = max(0, -(-kf_count // 256) - 1) + max(
+        0, -(-(len(backend.factors)) // 512) - 1
+    )
+    result["per_scan_surface_fresh_jits"] = per_scan_fresh
+    result["graph_optimize_bucket_rejits"] = opt_rejits
+    result["note"] = (
+        "the LiveSession serving surface (per-scan process_scan + "
+        "apply_loop_closure push-backs) over a full km-class run; "
+        "latency includes the dev-box relay (~26-33 ms floor, "
+        "LATENCY_r05). per_scan_surface_fresh_jits == 0 is the "
+        "prewarm + bucketed-shapes contract: no compile ever lands on "
+        "the per-scan path (step, keyframe preprocess, closure verify, "
+        "reanchor). The graph optimizer re-jits only at its designed "
+        "pose/factor bucket crossings — a bounded, off-the-scan-path "
+        "cost counted in graph_optimize_bucket_rejits."
+    )
     print(json.dumps(result, indent=2))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(result, f, indent=2)
-    assert result["fresh_jits_during_serving"] == 0, (
-        "a closure push-back triggered a fresh jit during serving"
+    assert per_scan_fresh == 0, (
+        f"a per-scan surface compiled during serving: {census_end} "
+        f"vs {census_after_warm}"
+    )
+    assert opt_rejits <= expected_opt + 1, (
+        f"graph optimize re-jitted {opt_rejits}x, more than the "
+        f"designed bucket crossings (~{expected_opt})"
     )
 
 

@@ -7,7 +7,7 @@ Walks the LocusState pytree and groups leaf bytes by top-level field;
 also reports the transient peak adders (the packed replay inputs for a
 lax.scan window, and the double-buffer factor donation avoids).
 
-Usage: python tools/memory_report.py [--production] [--map-capacity N]
+Usage: python tools/memory_report.py [--map-capacity N]
 """
 import argparse
 import json
@@ -17,7 +17,6 @@ import _pathsetup  # noqa: F401
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--production", action="store_true", default=True)
     ap.add_argument("--map-capacity", type=int, default=None)
     ap.add_argument("--scan-capacity", type=int, default=None)
     ap.add_argument("--json", default=None)
@@ -85,9 +84,11 @@ def main():
         "note": (
             "steady-state HBM is dominated by the map store (cloud + "
             "cached nn_aug operand + provenance); donation keeps the "
-            "scan carry single-buffered. A v5e chip (16 GB) fits "
-            f"~{int(16e9 / (total / mc) / 1e6)}M map slots at this "
-            "per-slot cost before transients."
+            "scan carry single-buffered. Per-slot cost uses the MAP "
+            "group's bytes only (the rest of the state is capacity-"
+            "independent of the map). A v5e chip (16 GB) fits "
+            f"~{int((16e9 - (total - groups['map'])) / (groups['map'] / mc) / 1e6)}M "
+            "map slots at this per-slot cost before transients."
         ),
     }
     print(json.dumps(result, indent=2))
